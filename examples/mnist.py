@@ -1,0 +1,110 @@
+"""MNIST training: MLP and CNN (parity workload: reference examples/mnist.py).
+
+Differences from the reference: cross-entropy is used directly (our backends
+support the advanced indexing it needs; the reference had to fall back to
+one-hot + MSE on OpenCL, mnist.py:57-60), and the training step is compiled
+into a single XLA program with ``light.jit``.
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+import lightgrad_tpu as light
+import lightgrad_tpu.nn as nn
+
+
+class CNN(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.c1 = nn.Conv2d(1, 8, kernelsize=3, pad=1)
+        self.c2 = nn.Conv2d(8, 16, kernelsize=3, pad=1)
+        self.l1 = nn.Linear(7 * 7 * 16, 10)
+
+    def forward(self, x):
+        y = self.c1(x).max_pool(kernel=(2, 2)).relu()
+        y = self.c2(y).max_pool(kernel=(2, 2)).relu()
+        return self.l1(y.reshape(y.shape[0], -1))
+
+
+class MLP(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.l1 = nn.Linear(28 * 28, 128)
+        self.l2 = nn.Linear(128, 10)
+
+    def forward(self, x):
+        return self.l2(self.l1(x).relu())
+
+
+def main(model_kind="mlp", steps=200, batch=128, use_jit=True, profile=False):
+    train = light.data.MNIST(train=True, batchsize=batch)
+    test = light.data.MNIST(train=False, n=2_000, shuffle=False, batchsize=256)
+
+    model = MLP() if model_kind == "mlp" else CNN()
+    optim = light.optim.AdaBelief(model.parameters(), lr=1e-3)
+
+    def prep(x):
+        return x.reshape(x.shape[0], -1) if model_kind == "mlp" else x.reshape(
+            x.shape[0], 1, 28, 28
+        )
+
+    def train_step(x, y):
+        out = model(prep(x))
+        loss = light.loss.cross_entropy(out, y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss
+
+    step_fn = light.jit(train_step) if use_jit else train_step
+
+    profiler = light.Profiler() if profile else None
+    done, t0, losses = 0, None, []
+    while done < steps:
+        for x, y in train:
+            if done >= steps:
+                break
+            if profiler:
+                with profiler:
+                    loss = step_fn(x, y)
+            else:
+                loss = step_fn(x, y)
+            done += 1
+            if done == 1:
+                loss.numpy()  # make sure warmup/compile is excluded from timing
+                t0 = time.perf_counter()
+            if done % 50 == 0:
+                losses.append(loss.item())
+                print(f"step {done}: loss {losses[-1]:.4f}")
+    loss.numpy()
+    dt = time.perf_counter() - t0
+    print(f"{steps} steps in {dt:.3f}s ({(steps - 1) / dt:.1f} steps/s)")
+    if profiler:
+        profiler.print(topn=15)
+
+    # test accuracy
+    correct = total = 0
+    with light.no_grad():
+        for x, y in test:
+            pred = model(prep(x)).numpy().argmax(-1)
+            correct += int((pred == y.numpy()).sum())
+            total += len(pred)
+    acc = correct / total
+    print(f"test accuracy: {acc:.4f}")
+    return dt, acc
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="mlp", choices=["mlp", "cnn"])
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--no-jit", action="store_true")
+    ap.add_argument("--profile", action="store_true")
+    args = ap.parse_args()
+    main(args.model, args.steps, args.batch, use_jit=not args.no_jit, profile=args.profile)

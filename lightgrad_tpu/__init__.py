@@ -1,0 +1,28 @@
+"""lightgrad_tpu -- a TPU-native define-by-run autograd framework.
+
+Built from scratch with the capability surface of ndoll1998/lightgrad
+(see SURVEY.md): a pure-Python eager tape over backend tensors, where the TPU
+backend's compute path is hand-written Pallas kernels + XLA, and whole
+training steps can be fused into single XLA programs with
+:func:`lightgrad_tpu.jit`.
+"""
+
+from . import data, loss, nn, optim, autograd
+from .autograd import (
+    Tensor,
+    CpuTensor,
+    TpuTensor,
+    AbstractTensor,
+    Gradients,
+    Function,
+    no_grad,
+)
+from .utils.profiler import Profiler
+from .jit import jit
+
+# tensor initializer shortcuts (parity: reference lightgrad/__init__.py)
+empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones
+uniform, xavier = Tensor.uniform, Tensor.xavier
+from_numpy = Tensor.from_numpy
+
+__version__ = "0.1.0"

@@ -1,0 +1,391 @@
+"""Numpy op set for CpuTensor.
+
+Capability parity with ``/root/reference/lightgrad/autograd/cpu/ops.py`` (same
+op inventory), with the reference's gaps fixed: ``sum`` has a backward
+(reference cpu/ops.py:293 left it TODO) and ``conv`` supports 1/2/3-D kernels
+with full input/weight gradients.
+"""
+
+import numpy as np
+
+from ..tensor import AbstractTensor
+from ..function import Function
+from .tensor import CpuTensor
+
+
+def _raw(x):
+    return x.data if isinstance(x, AbstractTensor) else x
+
+
+def _t(arr, like_dtype=None):
+    arr = np.asarray(arr)
+    return CpuTensor(arr, requires_grad=False, dtype=arr.dtype)
+
+
+def _unwrap_index(idx):
+    """Allow tensors inside (fancy) indices, e.g. ``y[range(n), labels]``."""
+    if isinstance(idx, AbstractTensor):
+        return idx.data
+    if isinstance(idx, tuple):
+        return tuple(_unwrap_index(i) for i in idx)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# movement
+# ---------------------------------------------------------------------------
+@CpuTensor.register_op()
+@CpuTensor.register_op("T")
+class transpose(Function):
+    def forward(ctx, a, *axes):
+        axes = axes if len(axes) > 0 else tuple(reversed(range(a.ndim)))
+        ctx.save_for_backward(axes)
+        return _t(np.transpose(a.data, axes))
+
+    def backward(ctx, g):
+        (axes,) = ctx.get_saved_tensors()
+        return _t(np.transpose(g.data, np.argsort(axes)))
+
+
+@CpuTensor.register_op()
+class reshape(Function):
+    def forward(ctx, a, *shape):
+        ctx.save_for_backward(a.shape)
+        return _t(a.data.reshape(shape))
+
+    def backward(ctx, g):
+        (shape,) = ctx.get_saved_tensors()
+        return _t(g.data.reshape(shape))
+
+
+@CpuTensor.register_op()
+class contiguous(Function):
+    def forward(ctx, a):
+        return _t(np.ascontiguousarray(a.data))
+
+    def backward(ctx, g):
+        return g
+
+
+@CpuTensor.register_op("__getitem__")
+class getitem(Function):
+    def forward(ctx, a, idx):
+        idx = _unwrap_index(idx)
+        ctx.save_for_backward(a.shape, a.dtype, idx)
+        return _t(a.data[idx])
+
+    def backward(ctx, g):
+        shape, dtype, idx = ctx.get_saved_tensors()
+        out = np.zeros(shape, dtype=dtype)
+        np.add.at(out, idx, g.data)
+        return _t(out)
+
+
+@CpuTensor.register_op("__setitem__")
+class setitem(Function):
+    def forward(ctx, a, idx, val):
+        a.data[_unwrap_index(idx)] = _raw(val)
+        return a
+
+
+# ---------------------------------------------------------------------------
+# elementwise unary
+# ---------------------------------------------------------------------------
+@CpuTensor.register_op()
+class neg(Function):
+    def forward(ctx, a):
+        return _t(-a.data)
+
+    def backward(ctx, g):
+        return _t(-g.data)
+
+
+@CpuTensor.register_op()
+class sin(Function):
+    def forward(ctx, a):
+        ctx.save_for_backward(a.data)
+        return _t(np.sin(a.data))
+
+    def backward(ctx, g):
+        (x,) = ctx.get_saved_tensors()
+        return _t(np.cos(x) * g.data)
+
+
+@CpuTensor.register_op()
+class cos(Function):
+    def forward(ctx, a):
+        ctx.save_for_backward(a.data)
+        return _t(np.cos(a.data))
+
+    def backward(ctx, g):
+        (x,) = ctx.get_saved_tensors()
+        return _t(-np.sin(x) * g.data)
+
+
+@CpuTensor.register_op()
+class exp(Function):
+    def forward(ctx, a):
+        y = np.exp(a.data)
+        ctx.save_for_backward(y)
+        return _t(y)
+
+    def backward(ctx, g):
+        (y,) = ctx.get_saved_tensors()
+        return _t(y * g.data)
+
+
+@CpuTensor.register_op()
+class log(Function):
+    def forward(ctx, a):
+        ctx.save_for_backward(a.data)
+        return _t(np.log(a.data))
+
+    def backward(ctx, g):
+        (x,) = ctx.get_saved_tensors()
+        return _t(g.data / x)
+
+
+@CpuTensor.register_op(overwrite=True)
+class sigmoid(Function):
+    def forward(ctx, a):
+        y = 1.0 / (1.0 + np.exp(-a.data))
+        ctx.save_for_backward(y)
+        return _t(y)
+
+    def backward(ctx, g):
+        (y,) = ctx.get_saved_tensors()
+        return _t(y * (1.0 - y) * g.data)
+
+
+@CpuTensor.register_op(overwrite=True)
+class tanh(Function):
+    def forward(ctx, a):
+        y = np.tanh(a.data)
+        ctx.save_for_backward(y)
+        return _t(y)
+
+    def backward(ctx, g):
+        (y,) = ctx.get_saved_tensors()
+        return _t((1.0 - y * y) * g.data)
+
+
+@CpuTensor.register_op()
+class relu(Function):
+    def forward(ctx, a):
+        ctx.save_for_backward(a.data)
+        return _t(np.maximum(a.data, 0))
+
+    def backward(ctx, g):
+        (x,) = ctx.get_saved_tensors()
+        return _t((x > 0) * g.data)
+
+
+# ---------------------------------------------------------------------------
+# elementwise binary (scalar operands allowed; grads trimmed in the core)
+# ---------------------------------------------------------------------------
+@CpuTensor.register_op()
+class add(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(isinstance(b, AbstractTensor))
+        return _t(a.data + _raw(b))
+
+    def backward(ctx, g):
+        (both,) = ctx.get_saved_tensors()
+        return (g, g) if both else (g,)
+
+
+@CpuTensor.register_op(overwrite=True)
+class sub(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(isinstance(b, AbstractTensor))
+        return _t(a.data - _raw(b))
+
+    def backward(ctx, g):
+        (both,) = ctx.get_saved_tensors()
+        return (g, _t(-g.data)) if both else (g,)
+
+
+@CpuTensor.register_op()
+class mul(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(a.data, _raw(b), isinstance(b, AbstractTensor))
+        return _t(a.data * _raw(b))
+
+    def backward(ctx, g):
+        x, y, both = ctx.get_saved_tensors()
+        return (_t(y * g.data), _t(x * g.data)) if both else (_t(y * g.data),)
+
+
+@CpuTensor.register_op(overwrite=True)
+class div(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(a.data, _raw(b), isinstance(b, AbstractTensor))
+        return _t(a.data / _raw(b))
+
+    def backward(ctx, g):
+        x, y, both = ctx.get_saved_tensors()
+        ga = _t(g.data / y)
+        if both:
+            return ga, _t(-x / (y * y) * g.data)
+        return (ga,)
+
+
+@CpuTensor.register_op()
+class pow(Function):
+    def forward(ctx, a, b):
+        y = a.data ** _raw(b)
+        ctx.save_for_backward(a.data, _raw(b), y, isinstance(b, AbstractTensor))
+        return _t(y)
+
+    def backward(ctx, g):
+        x, e, y, both = ctx.get_saved_tensors()
+        ga = _t(e * x ** (np.asarray(e) - 1) * g.data)
+        if both:
+            return ga, _t(y * np.log(x) * g.data)
+        return (ga,)
+
+
+# ---------------------------------------------------------------------------
+# in-place (no backward; used under no_grad, e.g. optimizer updates)
+# ---------------------------------------------------------------------------
+@CpuTensor.register_op()
+class iadd(Function):
+    def forward(ctx, a, b):
+        a.data.__iadd__(_raw(b))
+        return a
+
+
+@CpuTensor.register_op()
+class isub(Function):
+    def forward(ctx, a, b):
+        a.data.__isub__(_raw(b))
+        return a
+
+
+@CpuTensor.register_op()
+class imul(Function):
+    def forward(ctx, a, b):
+        a.data.__imul__(_raw(b))
+        return a
+
+
+@CpuTensor.register_op()
+class idiv(Function):
+    def forward(ctx, a, b):
+        a.data.__itruediv__(_raw(b))
+        return a
+
+
+@CpuTensor.register_op()
+class fill(Function):
+    def forward(ctx, a, val):
+        a.data.fill(val)
+        return a
+
+
+# ---------------------------------------------------------------------------
+# matmul
+# ---------------------------------------------------------------------------
+@CpuTensor.register_op()
+class dot(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(a.data, b.data)
+        return _t(np.matmul(a.data, b.data))
+
+    def backward(ctx, g):
+        x, y, go = ctx.get_saved_tensors()[0], ctx.get_saved_tensors()[1], g.data
+        ga = np.matmul(go, np.swapaxes(y, -1, -2))
+        gb = np.matmul(np.swapaxes(x, -1, -2), go)
+        return _t(ga), _t(gb)
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+def _restore_dims(arr, axis, keepdims):
+    """Re-insert reduced axes of size 1 so the value broadcasts against input."""
+    if keepdims or axis is None:
+        return arr
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    return np.expand_dims(arr, axes)
+
+
+@CpuTensor.register_op()
+class sum(Function):
+    def forward(ctx, a, axis=None, keepdims: bool = False):
+        ctx.save_for_backward(a.shape, axis, keepdims)
+        return _t(np.sum(a.data, axis=axis, keepdims=keepdims))
+
+    def backward(ctx, g):
+        shape, axis, keepdims = ctx.get_saved_tensors()
+        go = _restore_dims(g.data, axis, keepdims)
+        return _t(np.broadcast_to(go, shape).copy())
+
+
+@CpuTensor.register_op("max")
+class max_(Function):
+    def forward(ctx, a, axis=None, keepdims: bool = False):
+        y = np.max(a.data, axis=axis, keepdims=keepdims)
+        ctx.save_for_backward(a.data, y, axis, keepdims)
+        return _t(y)
+
+    def backward(ctx, g):
+        x, y, axis, keepdims = ctx.get_saved_tensors()
+        mask = x == _restore_dims(np.asarray(y), axis, keepdims)
+        return _t(mask * _restore_dims(g.data, axis, keepdims))
+
+
+@CpuTensor.register_op("min")
+class min_(Function):
+    def forward(ctx, a, axis=None, keepdims: bool = False):
+        y = np.min(a.data, axis=axis, keepdims=keepdims)
+        ctx.save_for_backward(a.data, y, axis, keepdims)
+        return _t(y)
+
+    def backward(ctx, g):
+        x, y, axis, keepdims = ctx.get_saved_tensors()
+        mask = x == _restore_dims(np.asarray(y), axis, keepdims)
+        return _t(mask * _restore_dims(g.data, axis, keepdims))
+
+
+# ---------------------------------------------------------------------------
+# convolution (N-D, NC<spatial> layout like the reference)
+# ---------------------------------------------------------------------------
+_SPATIAL = "xyz"
+_KERNEL = "uvw"
+
+
+@CpuTensor.register_op()
+class conv(Function):
+    """N-D convolution: x ``(B, Cin, *S)``, w ``(Cout, Cin, *K)``, int/tuple strides."""
+
+    def forward(ctx, x, w, strides=1):
+        xd, wd = x.data, w.data
+        n = wd.ndim - 2
+        s = (strides,) * n if isinstance(strides, int) else tuple(strides)
+        ksize = wd.shape[2:]
+        # windows: (B, Cin, *S_out_full, *K) then subsample by stride
+        win = np.lib.stride_tricks.sliding_window_view(xd, ksize, axis=tuple(range(2, 2 + n)))
+        win = win[(slice(None), slice(None)) + tuple(slice(None, None, st) for st in s)]
+        sp, k = _SPATIAL[:n], _KERNEL[:n]
+        out = np.einsum(f"bc{sp}{k},oc{k}->bo{sp}", win, wd)
+        ctx.save_for_backward(xd.shape, wd, win, s)
+        return _t(np.ascontiguousarray(out))
+
+    def backward(ctx, g):
+        x_shape, wd, win, s = ctx.get_saved_tensors()
+        go = g.data
+        n = wd.ndim - 2
+        sp, k = _SPATIAL[:n], _KERNEL[:n]
+        # weight gradient: correlate output grad with the input windows
+        gw = np.einsum(f"bo{sp},bc{sp}{k}->oc{k}", go, win)
+        # input gradient: scatter-add each kernel tap's contribution back
+        gx = np.zeros(x_shape, dtype=go.dtype)
+        out_sp = go.shape[2:]
+        for kidx in np.ndindex(*wd.shape[2:]):
+            contrib = np.einsum(f"bo{sp},oc->bc{sp}", go, wd[(slice(None), slice(None)) + kidx])
+            dst = tuple(
+                slice(ki, ki + st * od, st) for ki, st, od in zip(kidx, s, out_sp)
+            )
+            gx[(slice(None), slice(None)) + dst] += contrib
+        return _t(gx), _t(gw)

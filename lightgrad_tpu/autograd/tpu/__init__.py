@@ -1,0 +1,2 @@
+from .tensor import TpuTensor
+from . import ops  # registers the TPU op set onto TpuTensor

@@ -1,0 +1,341 @@
+"""TPU op set: Function wrappers over the Pallas/XLA kernel layer.
+
+Capability parity with the union of the reference's CPU and OpenCL op sets
+(``/root/reference/lightgrad/autograd/{cpu,opencl}/ops.py``), with the
+reference's gaps closed: conv has a full backward (OpenCL raised,
+opencl/ops.py:403-408), sum has a backward (cpu/ops.py:293 TODO), and getitem
+supports advanced integer indexing (opencl TODO at ops.py:309) -- which is
+what removes the reference BERT's embedding CPU-round-trip hack (bert.py:21).
+
+Binary backwards are fused: one elementwise kernel emits both input gradients
+(the reference's best perf idea, opencl/ops.py:80-83, kept as a multi-output
+Pallas kernel).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tensor import AbstractTensor
+from ..function import Function
+from .tensor import TpuTensor, _note
+from ...ops.elementwise import ew
+from ...ops.matmul import matmul as kmatmul
+from ...ops.reduce import reduce as kreduce
+from ...ops.conv import conv_fwd as kconv_fwd, conv_bwd as kconv_bwd
+
+
+def _t(arr):
+    return TpuTensor(_note(arr), requires_grad=False)
+
+
+def _raw(x):
+    return x.data if isinstance(x, AbstractTensor) else x
+
+
+def _scalar(b, like):
+    """Promote a python scalar to a jnp scalar of the operand's dtype."""
+    if isinstance(b, jax.Array):
+        return b
+    dt = like.dtype if jnp.issubdtype(like.dtype, jnp.floating) else jnp.result_type(like.dtype, np.asarray(b).dtype)
+    return jnp.asarray(b, dtype=dt)
+
+
+def _unwrap_index(idx):
+    if isinstance(idx, AbstractTensor):
+        return idx.data
+    if isinstance(idx, tuple):
+        return tuple(_unwrap_index(i) for i in idx)
+    return idx
+
+
+# ---------------------------------------------------------------------------
+# elementwise kernels bodies (module-level for stable jit identity)
+# ---------------------------------------------------------------------------
+def _f_neg(x): return -x
+def _b_neg(g): return -g
+def _f_sin(x): return jnp.sin(x)
+def _b_sin(g, x): return g * jnp.cos(x)
+def _f_cos(x): return jnp.cos(x)
+def _b_cos(g, x): return -g * jnp.sin(x)
+def _f_exp(x): return jnp.exp(x)
+def _b_exp(g, y): return g * y
+def _f_log(x): return jnp.log(x)
+def _b_log(g, x): return g / x
+def _f_sigmoid(x): return jax.nn.sigmoid(x)
+def _b_sigmoid(g, y): return g * y * (1.0 - y)
+def _f_tanh(x): return jnp.tanh(x)
+def _b_tanh(g, y): return g * (1.0 - y * y)
+def _f_relu(x): return jnp.maximum(x, 0)
+def _b_relu(g, x): return g * (x > 0).astype(g.dtype)
+def _f_gelu(x):
+    # tanh-approximated GELU (BERT variant)
+    return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+def _b_gelu(g, x):
+    u = 0.7978845608028654 * (x + 0.044715 * x * x * x)
+    t = jnp.tanh(u)
+    du = 0.7978845608028654 * (1.0 + 3 * 0.044715 * x * x)
+    return g * (0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du)
+
+def _f_add(a, b): return a + b
+def _b2_add(g, a, b): return g, g
+def _b1_add(g): return g
+def _f_sub(a, b): return a - b
+def _b2_sub(g, a, b): return g, -g
+def _f_mul(a, b): return a * b
+def _b2_mul(g, a, b): return g * b, g * a
+def _b1_mul(g, b): return g * b
+def _f_div(a, b): return a / b
+def _b2_div(g, a, b): return g / b, -g * a / (b * b)
+def _b1_div(g, b): return g / b
+def _f_pow(a, b): return a ** b
+def _b2_pow(g, a, b, y): return g * b * a ** (b - 1.0), g * y * jnp.log(a)
+def _b1_pow(g, a, b): return g * b * a ** (b - 1.0)
+
+def _b_minmax(g, x, y): return g * (x == y).astype(g.dtype)
+
+
+# ---------------------------------------------------------------------------
+# unary op factory
+# ---------------------------------------------------------------------------
+def _unary(name, fwd, bwd, save):
+    class Op(Function):
+        def forward(ctx, a):
+            y = ew(fwd, a.data)
+            if save == "x":
+                ctx.save_for_backward(a.data)
+            elif save == "y":
+                ctx.save_for_backward(y)
+            return _t(y)
+
+        def backward(ctx, g):
+            if save is None:
+                return _t(ew(bwd, g.data))
+            (res,) = ctx.get_saved_tensors()
+            return _t(ew(bwd, g.data, res))
+
+    Op.__name__ = name
+    TpuTensor.register_op(name, Op, overwrite=True)
+    return Op
+
+
+_unary("neg", _f_neg, _b_neg, None)
+_unary("sin", _f_sin, _b_sin, "x")
+_unary("cos", _f_cos, _b_cos, "x")
+_unary("exp", _f_exp, _b_exp, "y")
+_unary("log", _f_log, _b_log, "x")
+_unary("sigmoid", _f_sigmoid, _b_sigmoid, "y")
+_unary("tanh", _f_tanh, _b_tanh, "y")
+_unary("relu", _f_relu, _b_relu, "x")
+_unary("gelu", _f_gelu, _b_gelu, "x")
+
+
+# ---------------------------------------------------------------------------
+# binary ops (fused two-gradient backward when both operands are tensors)
+# ---------------------------------------------------------------------------
+def _binary(name, fwd, bwd2, bwd1, save_y=False):
+    class Op(Function):
+        def forward(ctx, a, b):
+            both = isinstance(b, AbstractTensor)
+            braw = b.data if both else _scalar(b, a.data)
+            y = ew(fwd, a.data, braw)
+            ctx.save_for_backward(both, a.data, braw, y if save_y else None)
+            return _t(y)
+
+        def backward(ctx, g):
+            both, araw, braw, y = ctx.get_saved_tensors()
+            if both:
+                args = (g.data, araw, braw) + ((y,) if save_y else ())
+                ga, gb = ew(bwd2, *args, n_out=2)
+                return _t(ga), _t(gb)
+            if name == "add" or name == "sub":
+                return (_t(ew(bwd1, g.data)),)
+            if name == "pow":
+                return (_t(ew(bwd1, g.data, araw, braw)),)
+            return (_t(ew(bwd1, g.data, braw)),)
+
+    Op.__name__ = name
+    TpuTensor.register_op(name, Op, overwrite=True)
+    return Op
+
+
+_binary("add", _f_add, _b2_add, _b1_add)
+_binary("sub", _f_sub, _b2_sub, _b1_add)
+_binary("mul", _f_mul, _b2_mul, _b1_mul)
+_binary("div", _f_div, _b2_div, _b1_div)
+_binary("pow", _f_pow, _b2_pow, _b1_pow, save_y=True)
+
+
+# ---------------------------------------------------------------------------
+# in-place ops (buffer swap via _set_data; used under no_grad)
+# ---------------------------------------------------------------------------
+def _inplace(name, fwd):
+    class Op(Function):
+        def forward(ctx, a, b):
+            braw = b.data if isinstance(b, AbstractTensor) else _scalar(b, a.data)
+            return a._set_data(_note(ew(fwd, a.data, braw)))
+
+    Op.__name__ = name
+    TpuTensor.register_op(name, Op, overwrite=True)
+    return Op
+
+
+_inplace("iadd", _f_add)
+_inplace("isub", _f_sub)
+_inplace("imul", _f_mul)
+_inplace("idiv", _f_div)
+
+
+@TpuTensor.register_op()
+class fill(Function):
+    def forward(ctx, a, val):
+        return a._set_data(_note(jnp.full(a.shape, val, dtype=a.dtype)))
+
+
+# ---------------------------------------------------------------------------
+# movement ops
+# ---------------------------------------------------------------------------
+@TpuTensor.register_op()
+@TpuTensor.register_op("T")
+class transpose(Function):
+    def forward(ctx, a, *axes):
+        axes = axes if len(axes) > 0 else tuple(reversed(range(a.ndim)))
+        ctx.save_for_backward(axes)
+        return _t(jnp.transpose(a.data, axes))
+
+    def backward(ctx, g):
+        (axes,) = ctx.get_saved_tensors()
+        return _t(jnp.transpose(g.data, np.argsort(axes)))
+
+
+@TpuTensor.register_op()
+class reshape(Function):
+    def forward(ctx, a, *shape):
+        ctx.save_for_backward(a.shape)
+        return _t(jnp.reshape(a.data, shape))
+
+    def backward(ctx, g):
+        (shape,) = ctx.get_saved_tensors()
+        return _t(jnp.reshape(g.data, shape))
+
+
+@TpuTensor.register_op()
+class contiguous(Function):
+    def forward(ctx, a):
+        return _t(a.data)
+
+    def backward(ctx, g):
+        return g
+
+
+@TpuTensor.register_op("__getitem__")
+class getitem(Function):
+    def forward(ctx, a, idx):
+        idx = _unwrap_index(idx)
+        ctx.save_for_backward(a.shape, a.dtype, idx)
+        return _t(a.data[idx])
+
+    def backward(ctx, g):
+        shape, dtype, idx = ctx.get_saved_tensors()
+        out = jnp.zeros(shape, dtype=dtype).at[idx].add(g.data)
+        return _t(out)
+
+
+@TpuTensor.register_op("__setitem__")
+class setitem(Function):
+    def forward(ctx, a, idx, val):
+        return a._set_data(_note(a.data.at[_unwrap_index(idx)].set(_raw(val))))
+
+
+@TpuTensor.register_op(overwrite=True)
+class pad(Function):
+    """Native XLA pad (overrides the generic zeros+setitem fallback)."""
+
+    def forward(ctx, t, padding, dims: tuple = (-2, -1), value: float = 0.0):
+        n = len(dims)
+        lo, hi = padding if isinstance(padding, tuple) else (padding, padding)
+        ctx.save_for_backward(lo, hi, n)
+        widths = [(0, 0)] * (t.ndim - n) + [(lo, hi)] * n
+        return _t(jnp.pad(t.data, widths, constant_values=value))
+
+    def backward(ctx, g):
+        lo, hi, n = ctx.get_saved_tensors()
+        idx = tuple(slice(None) for _ in range(g.ndim - n)) + tuple(
+            slice(lo, s - hi) for s in g.shape[-n:]
+        )
+        return _t(g.data[idx])
+
+
+# ---------------------------------------------------------------------------
+# matmul
+# ---------------------------------------------------------------------------
+@TpuTensor.register_op()
+class dot(Function):
+    def forward(ctx, a, b):
+        ctx.save_for_backward(a.data, b.data)
+        return _t(kmatmul(a.data, b.data))
+
+    def backward(ctx, g):
+        araw, braw = ctx.get_saved_tensors()
+        ga = kmatmul(g.data, jnp.swapaxes(braw, -1, -2))
+        gb = kmatmul(jnp.swapaxes(araw, -1, -2), g.data)
+        return _t(ga), _t(gb)
+
+
+# ---------------------------------------------------------------------------
+# reductions
+# ---------------------------------------------------------------------------
+def _restore(arr, axis, keepdims, rank):
+    if keepdims or axis is None:
+        return arr
+    axes = axis if isinstance(axis, tuple) else (axis,)
+    axes = tuple(a % rank for a in axes)
+    return jnp.expand_dims(arr, axes)
+
+
+@TpuTensor.register_op("sum")
+class sum_(Function):
+    def forward(ctx, a, axis=None, keepdims: bool = False):
+        ctx.save_for_backward(a.shape, axis, keepdims)
+        return _t(kreduce(a.data, "sum", axis=axis, keepdims=keepdims))
+
+    def backward(ctx, g):
+        shape, axis, keepdims = ctx.get_saved_tensors()
+        go = _restore(g.data, axis, keepdims, len(shape))
+        return _t(jnp.broadcast_to(go, shape))
+
+
+def _minmax(name):
+    class Op(Function):
+        def forward(ctx, a, axis=None, keepdims: bool = False):
+            y = kreduce(a.data, name, axis=axis, keepdims=keepdims)
+            ctx.save_for_backward(a.data, y, axis, keepdims)
+            return _t(y)
+
+        def backward(ctx, g):
+            x, y, axis, keepdims = ctx.get_saved_tensors()
+            ye = _restore(y, axis, keepdims, x.ndim)
+            ge = _restore(g.data, axis, keepdims, x.ndim)
+            return _t(ew(_b_minmax, ge, x, ye))
+
+    Op.__name__ = name
+    TpuTensor.register_op(name, Op, overwrite=True)
+
+
+_minmax("max")
+_minmax("min")
+
+
+# ---------------------------------------------------------------------------
+# convolution
+# ---------------------------------------------------------------------------
+@TpuTensor.register_op()
+class conv(Function):
+    def forward(ctx, x, w, strides=1):
+        ctx.save_for_backward(x.data, w.data, strides)
+        return _t(kconv_fwd(x.data, w.data, strides))
+
+    def backward(ctx, g):
+        xd, wd, strides = ctx.get_saved_tensors()
+        gx, gw = kconv_bwd(g.data, xd, wd, strides)
+        return _t(gx), _t(gw)

@@ -1,0 +1,92 @@
+"""Data pipeline: Dataset + MNIST.
+
+API parity with ``/root/reference/lightgrad/data.py``.  The MNIST download
+uses mirrors (the original yann.lecun.com host 403s) and falls back to a
+deterministic synthetic digit set when the environment has no network (CI /
+air-gapped TPU pods), controlled by ``LIGHTGRAD_FAKE_DATA=1``.
+"""
+
+import gzip
+from math import ceil
+
+import numpy as np
+
+from .autograd import Tensor
+from .utils import fetch
+
+__all__ = ["Dataset", "MNIST"]
+
+
+class Dataset:
+    def __init__(self, tensors, shuffle: bool = True, batchsize: int = 8):
+        assert all(t.shape[0] == tensors[0].shape[0] for t in tensors[1:])
+        self._tensors = tuple(tensors)
+        self._shuffle, self._bs = shuffle, batchsize
+
+    @property
+    def n(self) -> int:
+        return self._tensors[0].shape[0]
+
+    def shuffle(self):
+        idx = np.random.permutation(self.n)
+        self._tensors = tuple(t[idx].detach() for t in self._tensors)
+
+    def __getitem__(self, i):
+        return tuple(t[i, ...].detach() for t in self._tensors)
+
+    def __iter__(self):
+        if self._shuffle:
+            self.shuffle()
+        for i in range(len(self)):
+            yield self[i * self._bs : (i + 1) * self._bs]
+
+    def __len__(self) -> int:
+        return ceil(self.n / self._bs)
+
+
+_MNIST_MIRRORS = [
+    "https://storage.googleapis.com/cvdf-datasets/mnist/",
+    "https://ossci-datasets.s3.amazonaws.com/mnist/",
+]
+
+
+def _synthetic_digits(n: int, seed: int = 0):
+    """Deterministic stand-in digit set: translated dilated class templates."""
+    rng = np.random.default_rng(seed)
+    ys = rng.integers(0, 10, size=n).astype(np.int16)
+    xs = np.zeros((n, 28, 28), dtype=np.float32)
+    tmpl_rng = np.random.default_rng(1234)
+    templates = (tmpl_rng.random((10, 20, 20)) > 0.6).astype(np.float32)
+    for i, y in enumerate(ys):
+        dx, dy = rng.integers(0, 8, size=2)
+        xs[i, dx : dx + 20, dy : dy + 20] = templates[y]
+        xs[i] += rng.normal(0, 0.1, (28, 28)).astype(np.float32)
+    return np.clip(xs, 0, 1), ys
+
+
+class MNIST(Dataset):
+    def __init__(self, train: bool = True, n: int = 60_000, **kwargs):
+        import os
+
+        n = min(n, 60_000 if train else 10_000)
+        img_name = "train-images-idx3-ubyte.gz" if train else "t10k-images-idx3-ubyte.gz"
+        lbl_name = "train-labels-idx1-ubyte.gz" if train else "t10k-labels-idx1-ubyte.gz"
+        x = y = None
+        if os.environ.get("LIGHTGRAD_FAKE_DATA") != "1":
+            for base in _MNIST_MIRRORS:
+                try:
+                    parse = lambda raw: np.frombuffer(gzip.decompress(raw), dtype=np.uint8)
+                    x = parse(fetch(base + img_name))[0x10 : 0x10 + n * 28 * 28]
+                    x = x.reshape(-1, 28, 28).astype(np.float32) / 255.0
+                    y = parse(fetch(base + lbl_name))[8 : 8 + n].astype(np.int16)
+                    break
+                except Exception as e:  # noqa: BLE001 - any network failure -> next mirror
+                    print(f"MNIST fetch from {base} failed: {e}")
+        if x is None:
+            print("MNIST unavailable; using deterministic synthetic digits")
+            x, y = _synthetic_digits(n, seed=0 if train else 1)
+        super().__init__(
+            (Tensor.from_numpy(x, requires_grad=False),
+             Tensor.from_numpy(y, requires_grad=False)),
+            **kwargs,
+        )

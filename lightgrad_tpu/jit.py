@@ -1,0 +1,170 @@
+"""The step compiler: fuse an eager-tape function into one XLA program.
+
+This is the TPU-native answer to the eager-dispatch-overhead hazard called out
+in SURVEY.md §7 ("hard parts" #2): the reference launches one (blocking)
+kernel per tape op -- ~8 launches *per parameter* inside its optimizers -- so
+small-model training is dispatch-bound.  ``lightgrad_tpu.jit`` records which
+tensors a step function reads, writes and creates, then re-traces it under
+``jax.jit`` so the *entire* step (forward, backward graph walk, optimizer
+update) compiles into a single fused XLA executable with donated parameter
+buffers.
+
+Usage::
+
+    step = light.jit(lambda x, y: train_step(model, optim, x, y))
+    for x, y in data:
+        loss = step(x, y)          # one XLA dispatch per step
+
+Contract for the wrapped function:
+* tensor arguments are positional ``TpuTensor``s; shapes may vary (each new
+  shape signature records + compiles once);
+* parameters/optimizer state may be read from closures -- they are captured
+  automatically and passed as runtime inputs (never baked as constants);
+* no host synchronization inside (``.numpy()`` / ``.item()`` on interior
+  tensors will fail under tracing -- call them on the returned tensors);
+* python-level state must live in tensors (our optimizers comply).
+
+The first call per signature runs eagerly (a real step) while recording; the
+second call traces and compiles; subsequent calls dispatch the compiled
+program and write mutated buffers back into the original tensor objects.
+"""
+
+import jax
+
+from .autograd import tensor as _tensor_mod
+from .autograd.tpu.tensor import TpuTensor
+
+__all__ = ["jit"]
+
+
+class _Recorder:
+    def __init__(self):
+        self.reads = {}
+        self.writes = {}
+        self.created = set()
+
+    def on_read(self, t):
+        self.reads.setdefault(id(t), t)
+
+    def on_write(self, t):
+        self.writes.setdefault(id(t), t)
+
+    def on_create(self, t):
+        self.created.add(id(t))
+
+
+class _TraceScope:
+    def __init__(self, recorder):
+        self.recorder = recorder
+
+    def __enter__(self):
+        self.prev = _tensor_mod._trace
+        _tensor_mod._trace = self.recorder
+        return self.recorder
+
+    def __exit__(self, *exc):
+        _tensor_mod._trace = self.prev
+        return False
+
+
+def _is_tensor(x):
+    return isinstance(x, TpuTensor)
+
+
+class _CompiledStep:
+    def __init__(self, fn):
+        self.fn = fn
+        self.cache = {}  # shape signature -> state dict
+
+    def _signature(self, args):
+        return tuple(
+            (t.shape, str(t.dtype)) if _is_tensor(t) else ("static", repr(t))
+            for t in args
+        )
+
+    def __call__(self, *args):
+        sig = self._signature(args)
+        state = self.cache.get(sig)
+        if state is None:
+            return self._record(sig, args)
+        if state["compiled"] is None:
+            self._compile(state, args)
+        return self._run(state, args)
+
+    # -- phase 1: real eager step, discovering reads/writes/captures --------
+    def _record(self, sig, args):
+        rec = _Recorder()
+        with _TraceScope(rec):
+            out = self.fn(*args)
+        arg_ids = {id(t) for t in args if _is_tensor(t)}
+        captured = [
+            t
+            for tid, t in rec.reads.items()
+            if tid not in rec.created and tid not in arg_ids
+        ]
+        mutated = [
+            t for tid, t in rec.writes.items() if tid not in rec.created
+        ]
+        self.cache[sig] = {
+            "captured": captured,
+            "mutated": mutated,
+            "compiled": None,
+        }
+        return out
+
+    # -- phase 2: phantom traced run -> single XLA executable ---------------
+    def _compile(self, state, args):
+        captured, mutated = state["captured"], state["mutated"]
+        # split captures: mutated ones (params, optimizer state, grads) are
+        # donated so XLA updates them in place; constants are not
+        mut_ids = {id(t) for t in mutated}
+        cap_mut = [t for t in captured if id(t) in mut_ids]
+        cap_const = [t for t in captured if id(t) not in mut_ids]
+        state["cap_mut"], state["cap_const"] = cap_mut, cap_const
+        tensor_args = [t for t in args if _is_tensor(t)]
+        fn = self.fn
+
+        def pure_step(arg_datas, mut_datas_in, const_datas):
+            swap = (
+                list(zip(tensor_args, arg_datas))
+                + list(zip(cap_mut, mut_datas_in))
+                + list(zip(cap_const, const_datas))
+            )
+            old = [(t, t.data, t.ctx) for t, _ in swap]
+            try:
+                for t, d in swap:
+                    t._set_data(d)
+                out = fn(*args)
+                out_leaves, out_tree = jax.tree_util.tree_flatten(
+                    out, is_leaf=_is_tensor
+                )
+                out_datas = [t.data if _is_tensor(t) else t for t in out_leaves]
+                mut_datas = [t.data for t in mutated]
+                state["out_tree"] = out_tree
+                state["out_is_tensor"] = [_is_tensor(t) for t in out_leaves]
+                return out_datas, mut_datas
+            finally:
+                for t, d, c in old:
+                    t._set_data(d)
+                    t._set_ctx(c)
+
+        state["compiled"] = jax.jit(pure_step, donate_argnums=(1,))
+
+    # -- phase 3: steady-state dispatch -------------------------------------
+    def _run(self, state, args):
+        arg_datas = [t.data for t in args if _is_tensor(t)]
+        mut_in = [t.data for t in state["cap_mut"]]
+        const_in = [t.data for t in state["cap_const"]]
+        out_datas, mut_datas = state["compiled"](arg_datas, mut_in, const_in)
+        for t, d in zip(state["mutated"], mut_datas):
+            t._set_data(d)
+        leaves = [
+            TpuTensor(d, requires_grad=False) if is_t else d
+            for d, is_t in zip(out_datas, state["out_is_tensor"])
+        ]
+        return jax.tree_util.tree_unflatten(state["out_tree"], leaves)
+
+
+def jit(fn):
+    """Compile an eager-tape step function into a single XLA program."""
+    return _CompiledStep(fn)

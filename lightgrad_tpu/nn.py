@@ -1,0 +1,158 @@
+"""Module system and layers.
+
+API parity with ``/root/reference/lightgrad/nn.py`` (Module / ModuleList /
+Linear / Conv2d / LayerNorm) plus an ``Embedding`` layer -- the reference had
+none and worked around it with a device->host->device gather hack
+(reference examples/bert.py:19-21); our backends support native gather so the
+layer is first-class.  ``state_dict`` adds the save path the reference lacked
+(load-only checkpointing, SURVEY.md §5).
+"""
+
+import numpy as np
+
+from .autograd import Tensor, AbstractTensor
+
+__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding"]
+
+
+class Module:
+    def __init__(self):
+        object.__setattr__(self, "_params", {})
+        object.__setattr__(self, "_modules", {})
+
+    def forward(self, *args, **kwargs):
+        raise NotImplementedError()
+
+    def __call__(self, *args, **kwargs):
+        return self.forward(*args, **kwargs)
+
+    def __setattr__(self, name, val):
+        if isinstance(val, (AbstractTensor, Module)):
+            self.register_param_or_module(name, val)
+        object.__setattr__(self, name, val)
+
+    def register_param_or_module(self, name, val):
+        if isinstance(val, AbstractTensor):
+            self._modules.pop(name, None)
+            self._params[name] = val
+        elif isinstance(val, Module):
+            self._params.pop(name, None)
+            self._modules[name] = val
+        return val
+
+    def unregister_param_or_module(self, name):
+        return self._params.pop(name, None) or self._modules.pop(name, None)
+
+    def parameters(self):
+        yield from self._params.values()
+        for m in self._modules.values():
+            yield from m.parameters()
+
+    def named_parameters(self, prefix: str = "", separator: str = "."):
+        prefix = (prefix + separator) if prefix else ""
+        for name, p in self._params.items():
+            yield prefix + name, p
+        for name, m in self._modules.items():
+            yield from m.named_parameters(prefix=prefix + name, separator=separator)
+
+    def map_parameters(self, fn):
+        """Apply ``fn`` to every parameter (e.g. ``lambda p: p.tpu()``)."""
+        for key, p in list(self._params.items()):
+            self.__setattr__(key, fn(p))
+        for m in self._modules.values():
+            m.map_parameters(fn)
+        return self
+
+    def load_parameters(self, param_dict: dict, prefix: str = "", separator: str = ".") -> None:
+        param_dict = dict(param_dict)
+        if prefix:
+            prefix += separator
+        for key, p in self._params.items():
+            full = prefix + key
+            assert full in param_dict, f"{full} not found in param dict"
+            new_p = param_dict[full]
+            if not isinstance(new_p, type(p)):
+                if isinstance(new_p, AbstractTensor):
+                    new_p = new_p.numpy()
+                assert isinstance(new_p, np.ndarray), f"unexpected parameter type {type(new_p).__name__}"
+                new_p = type(p).from_numpy(new_p)
+            assert p.shape == new_p.shape, f"shape mismatch for {full}: {p.shape} != {new_p.shape}"
+            self.__setattr__(key, new_p)
+        for key, m in self._modules.items():
+            m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
+
+    def state_dict(self, prefix: str = "", separator: str = ".") -> dict:
+        """name -> np.ndarray snapshot (the save path the reference lacked)."""
+        return {n: p.numpy() for n, p in self.named_parameters(prefix, separator)}
+
+
+class ModuleList(Module, list):
+    def __init__(self, *elements):
+        Module.__init__(self)
+        list.__init__(self, elements)
+        for i, e in enumerate(elements):
+            self.register_param_or_module(str(i), e)
+
+    def __setitem__(self, i, e):
+        assert i < len(self)
+        self.unregister_param_or_module(str(i))
+        self.register_param_or_module(str(i), e)
+        return list.__setitem__(self, i, e)
+
+    def append(self, e):
+        self.register_param_or_module(str(len(self)), e)
+        return list.append(self, e)
+
+
+class Linear(Module):
+    def __init__(self, in_feats: int, out_feats: int, bias: bool = True):
+        super().__init__()
+        self.weight = Tensor.xavier((out_feats, in_feats))
+        self.bias = Tensor.xavier((out_feats,)) if bias else None
+
+    def forward(self, x):
+        y = x @ self.weight.T(1, 0)
+        return y + self.bias if self.bias is not None else y
+
+
+class Conv2d(Module):
+    def __init__(self, in_channels: int, out_channels: int, kernelsize: int = 3,
+                 stride: int = 1, pad: int = None, bias: bool = True):
+        super().__init__()
+        self.w = Tensor.xavier((out_channels, in_channels, kernelsize, kernelsize))
+        self.b = Tensor.xavier((1, out_channels, 1, 1)) if bias else None
+        self.s = stride
+        self.p = (kernelsize // 2) if pad is None else pad
+
+    def forward(self, x):
+        y = (x.pad(self.p) if self.p > 0 else x).conv(self.w, strides=self.s)
+        return y + self.b if self.b is not None else y
+
+
+class LayerNorm(Module):
+    def __init__(self, shape, eps: float = 1e-5):
+        super().__init__()
+        self.shape = tuple(shape) if isinstance(shape, (tuple, list)) else (shape,)
+        self.eps = eps
+        self.weight = Tensor.ones(self.shape)
+        self.bias = Tensor.zeros(self.shape)
+
+    def forward(self, x):
+        assert x.shape[-len(self.shape):] == self.shape, (
+            f"LayerNorm shape mismatch: {x.shape} vs {self.shape}"
+        )
+        axes = tuple(range(len(x.shape) - len(self.shape), len(x.shape)))
+        d = x - x.mean(axis=axes, keepdims=True)
+        v = (d * d).mean(axis=axes, keepdims=True)
+        return d / (v + self.eps).pow(0.5) * self.weight + self.bias
+
+
+class Embedding(Module):
+    """Token-id -> vector gather (no CPU round-trip, unlike reference bert.py:21)."""
+
+    def __init__(self, num_embeddings: int, embedding_dim: int):
+        super().__init__()
+        self.weight = Tensor.xavier((num_embeddings, embedding_dim))
+
+    def forward(self, ids):
+        return self.weight[ids]

@@ -1,0 +1,60 @@
+"""TPU kernel runtime configuration.
+
+Centralizes platform detection and the kernel-mode switch:
+
+* ``pallas``  -- hand-written Pallas/Mosaic kernels (default on real TPU).
+* ``xla``     -- pure jnp implementations compiled by XLA (default off-TPU,
+  e.g. the 8-virtual-device CPU mesh used in CI; also the reference point the
+  Pallas kernels are validated against).
+
+Off-TPU, Pallas kernels run in interpreter mode (``interpret=True``) -- the
+analogue of the reference's POCL-on-CI trick (SURVEY.md §4).
+
+Every kernel entry point is a ``jax.jit``-compiled pure function whose shape
+canonicalization runs at trace time, so the eager tape pays only the jit cache
+lookup per op -- the moral equivalent of the reference's ``lru_cache``-compiled
+OpenCL kernels (reference kernels.py:24,201,344,510), but fully asynchronous.
+"""
+
+import os
+
+import jax
+
+__all__ = ["ON_TPU", "INTERPRET", "kernel_mode", "set_kernel_mode", "cdiv", "round_up"]
+
+# persistent compilation cache: the eager tape compiles one small XLA program
+# per (op, shape) -- caching them across processes removes the dominant
+# first-run latency (especially over tunneled TPU connections)
+if os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
+    _cache_dir = os.environ.get(
+        "LIGHTGRAD_COMPILE_CACHE", os.path.expanduser("~/.cache/lightgrad_tpu_xla")
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+ON_TPU = jax.default_backend() == "tpu"
+# pallas interpret mode whenever we are not on a real TPU
+INTERPRET = not ON_TPU
+
+_mode = os.environ.get("LIGHTGRAD_KERNELS", "pallas" if ON_TPU else "xla")
+
+
+def kernel_mode() -> str:
+    return _mode
+
+
+def set_kernel_mode(mode: str) -> str:
+    """Switch between 'pallas' and 'xla' kernel implementations."""
+    global _mode
+    assert mode in ("pallas", "xla"), mode
+    prev, _mode = _mode, mode
+    return prev
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -1,0 +1,102 @@
+"""Optimizers: SGD / Adam / AdaBelief.
+
+API parity with ``/root/reference/lightgrad/optim.py`` (``compute_delta``
+contract, ``p += delta`` under no_grad).  Re-designed for TPU step fusion:
+optimizer state is materialized as tensors up-front (``_init_state``) and all
+updates go through tensor ops, so the whole ``step()`` -- and the training
+step around it -- can be captured by ``lightgrad_tpu.jit`` into a single XLA
+program (the reference launched ~8 kernels per parameter per step,
+SURVEY.md §3.3).
+"""
+
+from .autograd import Gradients, AbstractTensor
+
+__all__ = ["Optimizer", "SGD", "Adam", "AdaBelief"]
+
+
+class Optimizer:
+    def __init__(self, parameters):
+        self.parameters = tuple(parameters)
+        assert all(isinstance(p, AbstractTensor) for p in self.parameters)
+
+    def zero_grad(self):
+        for p in self.parameters:
+            p.zero_grad()
+
+    @Gradients.no_grad()
+    def step(self):
+        for i, p in enumerate(self.parameters):
+            p += self.compute_delta(p.grad, i)
+
+    def compute_delta(self, grad, idx):
+        raise NotImplementedError()
+
+    def _zeros_like(self, p):
+        return type(p).zeros(p.shape, requires_grad=False)
+
+
+class SGD(Optimizer):
+    """Stochastic gradient descent with optional momentum."""
+
+    def __init__(self, parameters, lr: float, momentum: float = 0.0):
+        super().__init__(parameters)
+        self.lr, self.momentum = lr, momentum
+        self.velocity = [self._zeros_like(p) for p in self.parameters] if momentum else None
+
+    def compute_delta(self, grad, i):
+        if self.velocity is None:
+            return grad * (-self.lr)
+        v = self.velocity[i]
+        v *= self.momentum
+        v += grad * (-self.lr)
+        return v
+
+
+class Adam(Optimizer):
+    """ADAptive Moment estimation.
+
+    All state (including the step counter) lives in tensors so that a whole
+    training step is traceable by ``lightgrad_tpu.jit`` -- a python-int step
+    counter would be baked into the compiled program as a constant.
+    """
+
+    def __init__(self, parameters, lr: float, beta1: float = 0.9,
+                 beta2: float = 0.999, eps: float = 1e-8):
+        super().__init__(parameters)
+        self.lr, self.b1, self.b2, self.eps = lr, beta1, beta2, eps
+        proto = type(self.parameters[0]) if self.parameters else None
+        self.t = proto.zeros((), requires_grad=False) if proto else None
+        self.m = [self._zeros_like(p) for p in self.parameters]
+        self.v = [self._zeros_like(p) for p in self.parameters]
+
+    @Gradients.no_grad()
+    def step(self):
+        import numpy as np
+
+        self.t += 1.0
+        # bias corrections: beta^t computed as exp(t * ln(beta)) in tensors
+        self._bc1 = 1.0 / (1.0 - (self.t * float(np.log(self.b1))).exp())
+        self._bc2 = 1.0 / (1.0 - (self.t * float(np.log(self.b2))).exp())
+        super().step()
+
+    def _second_moment_update(self, grad, i):
+        return grad * grad
+
+    def compute_delta(self, grad, i):
+        m, v = self.m[i], self.v[i]
+        m *= self.b1
+        m += grad * (1 - self.b1)
+        v *= self.b2
+        v += self._second_moment_update(grad, i) * (1 - self.b2)
+        m_hat = m * self._bc1
+        v_hat = v * self._bc2
+        return m_hat * (-self.lr) / (v_hat ** 0.5 + self.eps)
+
+
+class AdaBelief(Adam):
+    """Adapting Stepsizes by the Belief in Observed Gradients
+    (https://arxiv.org/abs/2010.07468)."""
+
+    def _second_moment_update(self, grad, i):
+        d = grad - self.m[i]
+        return d * d

@@ -1,0 +1,22 @@
+"""Test environment: force the virtual 8-device CPU mesh BEFORE jax backends
+initialize.
+
+Pallas kernels run in interpreter mode off-TPU (lightgrad_tpu.ops.runtime),
+the analogue of the reference's POCL-on-CI trick (SURVEY.md §4): the full
+kernel stack executes without physical TPU hardware.  Set
+``LIGHTGRAD_TEST_TPU=1`` to run the same suite against a real attached TPU
+instead (the env-var ``JAX_PLATFORMS`` is ignored by some TPU plugins, so we
+use the config API).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+if os.environ.get("LIGHTGRAD_TEST_TPU") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,208 @@
+"""Toolkit tests: Module system, optimizers, losses, data pipeline, jit."""
+
+import numpy as np
+import pytest
+
+import lightgrad_tpu as light
+import lightgrad_tpu.nn as nn
+from lightgrad_tpu.autograd import CpuTensor, TpuTensor
+
+np.random.seed(42)
+
+
+class TwoLayer(nn.Module):
+    def __init__(self, din=6, dhid=16, dout=3):
+        super().__init__()
+        self.l1 = nn.Linear(din, dhid)
+        self.l2 = nn.Linear(dhid, dout)
+
+    def forward(self, x):
+        return self.l2(self.l1(x).relu())
+
+
+def test_module_registry():
+    m = TwoLayer()
+    names = [n for n, _ in m.named_parameters()]
+    assert names == ["l1.weight", "l1.bias", "l2.weight", "l2.bias"]
+    assert len(list(m.parameters())) == 4
+
+
+def test_state_dict_roundtrip():
+    m1, m2 = TwoLayer(), TwoLayer()
+    m2.load_parameters(m1.state_dict())
+    for (_, a), (_, b) in zip(m1.named_parameters(), m2.named_parameters()):
+        np.testing.assert_array_equal(a.numpy(), b.numpy())
+
+
+def test_module_list():
+    layers = nn.ModuleList(nn.Linear(4, 4), nn.Linear(4, 2))
+    m = nn.Module()
+    m.layers = layers
+    assert len(list(m.parameters())) == 4
+    assert any(n.startswith("layers.0") for n, _ in m.named_parameters())
+
+
+def test_map_parameters_backend_move():
+    m = TwoLayer().map_parameters(lambda p: p.cpu())
+    assert all(isinstance(p, CpuTensor) for p in m.parameters())
+    m.map_parameters(lambda p: p.tpu())
+    assert all(isinstance(p, TpuTensor) for p in m.parameters())
+
+
+def _train_regression(optim_cls, backend, steps=150, **kw):
+    x_np = np.random.uniform(-1, 1, (64, 6)).astype(np.float32)
+    w_np = np.random.uniform(-1, 1, (6, 3)).astype(np.float32)
+    y_np = x_np @ w_np
+    model = TwoLayer()
+    model.map_parameters(lambda p: getattr(p, backend)())
+    cls = type(next(iter(model.parameters())))
+    x, y = cls.from_numpy(x_np, requires_grad=False), cls.from_numpy(y_np, requires_grad=False)
+    optim = optim_cls(model.parameters(), **kw)
+    losses = []
+    for _ in range(steps):
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(loss.item())
+    return losses
+
+
+@pytest.mark.parametrize("backend", ["cpu", "tpu"])
+@pytest.mark.parametrize(
+    "optim_cls,kw",
+    [
+        (light.optim.SGD, {"lr": 0.5}),
+        (light.optim.SGD, {"lr": 0.1, "momentum": 0.9}),
+        (light.optim.Adam, {"lr": 0.02}),
+        (light.optim.AdaBelief, {"lr": 0.02}),
+    ],
+)
+def test_optimizers_learn(backend, optim_cls, kw):
+    losses = _train_regression(optim_cls, backend, **kw)
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_mse_grad_matches_numeric():
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    y_hat = CpuTensor.from_numpy(np.random.uniform(-1, 1, (8, 4)).astype(np.float32), requires_grad=False)
+    x = CpuTensor.from_numpy(np.random.uniform(-1, 1, (8, 4)).astype(np.float32))
+    assert_gradcheck(lambda t: light.loss.mse(t, y_hat), x)
+
+
+@pytest.mark.parametrize("backend_cls", [CpuTensor, TpuTensor])
+def test_cross_entropy(backend_cls):
+    logits = np.random.uniform(-1, 1, (8, 5)).astype(np.float32)
+    labels = np.random.randint(0, 5, 8)
+    y = backend_cls.from_numpy(logits)
+    t = backend_cls.from_numpy(labels.astype(np.int32), requires_grad=False)
+    loss = light.loss.cross_entropy(y, t)
+    # reference value from numpy
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    expect = -np.log(p[np.arange(8), labels]).mean()
+    np.testing.assert_allclose(loss.item(), expect, rtol=1e-5, atol=1e-5)
+    loss.backward()
+    expect_grad = p.copy()
+    expect_grad[np.arange(8), labels] -= 1
+    expect_grad /= 8
+    np.testing.assert_allclose(y.grad.numpy(), expect_grad, rtol=1e-4, atol=1e-5)
+
+
+def test_dataset_batching():
+    xs = np.arange(20, dtype=np.float32).reshape(10, 2)
+    ys = np.arange(10, dtype=np.int32)
+    ds = light.data.Dataset(
+        (CpuTensor.from_numpy(xs, requires_grad=False),
+         CpuTensor.from_numpy(ys, requires_grad=False)),
+        shuffle=False, batchsize=4,
+    )
+    batches = list(ds)
+    assert len(ds) == 3 and len(batches) == 3
+    assert batches[0][0].shape == (4, 2) and batches[2][0].shape == (2, 2)
+    np.testing.assert_array_equal(batches[1][1].numpy(), ys[4:8])
+
+
+def test_dataset_shuffle_pairs_rows():
+    xs = np.arange(10, dtype=np.float32).reshape(10, 1)
+    ds = light.data.Dataset(
+        (CpuTensor.from_numpy(xs, requires_grad=False),
+         CpuTensor.from_numpy(xs.squeeze(-1), requires_grad=False)),
+        shuffle=True, batchsize=5,
+    )
+    for x, y in ds:
+        np.testing.assert_array_equal(x.numpy().squeeze(-1), y.numpy())
+
+
+def test_jit_matches_eager():
+    """Same params after N steps whether eager or jit-compiled."""
+
+    def build():
+        np.random.seed(7)
+        model = TwoLayer()
+        model.map_parameters(lambda p: p.tpu())
+        optim = light.optim.Adam(model.parameters(), lr=0.01)
+        return model, optim
+
+    x_np = np.random.uniform(-1, 1, (32, 6)).astype(np.float32)
+    y_np = np.random.uniform(-1, 1, (32, 3)).astype(np.float32)
+
+    def run(use_jit):
+        model, optim = build()
+
+        def step(x, y):
+            loss = light.loss.mse(model(x), y)
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            return loss
+
+        fn = light.jit(step) if use_jit else step
+        x = TpuTensor.from_numpy(x_np, requires_grad=False)
+        y = TpuTensor.from_numpy(y_np, requires_grad=False)
+        for _ in range(5):
+            loss = fn(x, y)
+        return loss.item(), [p.numpy() for p in model.parameters()]
+
+    eager_loss, eager_params = run(False)
+    jit_loss, jit_params = run(True)
+    np.testing.assert_allclose(jit_loss, eager_loss, rtol=1e-5, atol=1e-6)
+    for a, b in zip(eager_params, jit_params):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_profiler_records():
+    prof = light.Profiler()
+    x = CpuTensor.from_numpy(np.random.rand(4, 4).astype(np.float32))
+    with prof:
+        y = (x.tanh() * 2.0).sum()
+        y.backward()
+    assert prof.fwd_count["tanh"] == 1  # composite shows as one entry
+    assert "sum" in prof.fwd_count
+    assert any(prof.bwd_count.values())
+
+
+def test_torch_loader_zip_format():
+    torch = pytest.importorskip("torch")
+    import io
+
+    sd = {"a.weight": torch.randn(3, 4), "b.bias": torch.arange(5, dtype=torch.int64)}
+    buf = io.BytesIO()
+    torch.save(sd, buf)
+    from lightgrad_tpu.utils import load_torch_state_dict
+
+    out = load_torch_state_dict(buf.getvalue())
+    np.testing.assert_allclose(out["a.weight"], sd["a.weight"].numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(out["b.bias"], sd["b.bias"].numpy())
+
+
+def test_embedding():
+    emb = nn.Embedding(10, 8)
+    ids = TpuTensor.from_numpy(np.array([1, 3, 3, 7]), requires_grad=False)
+    out = emb(ids)
+    assert out.shape == (4, 8)
+    out.sum().backward()
+    g = emb.weight.grad.numpy()
+    assert g[3].sum() == pytest.approx(2 * 8)  # row 3 gathered twice
+    assert g[0].sum() == 0
