@@ -59,6 +59,10 @@ class _NamedMarker:
         self.__name__ = name
 
 
+class _AttrDict(dict):
+    """dict that tolerates the attribute state torch pickles onto OrderedDict."""
+
+
 def _load_zip_format(data: bytes) -> dict:
     zf = zipfile.ZipFile(io.BytesIO(data))
     pkl_name = next(n for n in zf.namelist() if n.endswith("data.pkl"))
@@ -73,7 +77,7 @@ def _load_zip_format(data: bytes) -> dict:
                     return _rebuild_tensor
                 return lambda *a, **k: None  # metadata we don't need
             if module == "collections" and name == "OrderedDict":
-                return dict
+                return _AttrDict
             raise pickle.UnpicklingError(f"blocked global {module}.{name}")
 
         def persistent_load(self, pid):
