@@ -88,6 +88,24 @@ class setitem(Function):
         return a
 
 
+@CpuTensor.register_op()
+class narrow(Function):
+    """Dynamic-start slice along ``axis`` (see the TPU op of the same name)."""
+
+    def forward(ctx, a, start, length: int, axis: int = 0):
+        s = int(start.data) if isinstance(start, AbstractTensor) else int(start)
+        ctx.save_for_backward(a.shape, a.dtype, s, length, axis)
+        idx = tuple(slice(None) for _ in range(axis)) + (slice(s, s + length),)
+        return _t(a.data[idx])
+
+    def backward(ctx, g):
+        shape, dtype, s, length, axis = ctx.get_saved_tensors()
+        out = np.zeros(shape, dtype=dtype)
+        idx = tuple(slice(None) for _ in range(axis)) + (slice(s, s + length),)
+        out[idx] = g.data
+        return (_t(out),)
+
+
 # ---------------------------------------------------------------------------
 # elementwise unary
 # ---------------------------------------------------------------------------

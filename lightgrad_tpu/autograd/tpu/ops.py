@@ -247,6 +247,26 @@ class setitem(Function):
         return a._set_data(_note(a.data.at[_unwrap_index(idx)].set(_raw(val))))
 
 
+@TpuTensor.register_op()
+class narrow(Function):
+    """Dynamic-start slice: ``length`` elements along ``axis`` from ``start``.
+
+    ``start`` may be a (0-d integer) tensor, so a data-loader batch index can
+    be *traced* -- one compiled program serves every batch offset (static
+    getitem slices would recompile per offset).
+    """
+
+    def forward(ctx, a, start, length: int, axis: int = 0):
+        s = start.data if isinstance(start, AbstractTensor) else start
+        ctx.save_for_backward(a.shape, a.dtype, s, axis)
+        return _t(jax.lax.dynamic_slice_in_dim(a.data, s, length, axis))
+
+    def backward(ctx, g):
+        shape, dtype, s, axis = ctx.get_saved_tensors()
+        zeros = jnp.zeros(shape, dtype=dtype)
+        return (_t(jax.lax.dynamic_update_slice_in_dim(zeros, g.data, s, axis)),)
+
+
 @TpuTensor.register_op(overwrite=True)
 class pad(Function):
     """Native XLA pad (overrides the generic zeros+setitem fallback)."""

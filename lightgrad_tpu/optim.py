@@ -32,7 +32,14 @@ class Optimizer:
         raise NotImplementedError()
 
     def _zeros_like(self, p):
-        return type(p).zeros(p.shape, requires_grad=False)
+        z = type(p).zeros(p.shape, requires_grad=False)
+        # inherit the parameter's device placement/sharding so the compiled
+        # step starts SPMD-consistent (avoids a resharding round-trip)
+        if hasattr(p.data, "sharding") and hasattr(z.data, "sharding"):
+            import jax
+
+            z._set_data(jax.device_put(z.data, p.data.sharding))
+        return z
 
 
 class SGD(Optimizer):

@@ -1,0 +1,2 @@
+from .mesh import make_mesh
+from .shard import shard_module, shard_tensor, partition_rules, BERT_TP_RULES

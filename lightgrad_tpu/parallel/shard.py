@@ -1,0 +1,57 @@
+"""Parameter/batch sharding over a device mesh.
+
+Tensor-parallel layouts follow the Megatron split: attention q/k/v and the MLP
+up-projection shard their *output* features (row-parallel weights), the
+attention output projection and MLP down-projection shard their *input*
+features (column-parallel), so each transformer block needs exactly one
+all-reduce per matmul pair -- which XLA's GSPMD inserts automatically from
+these annotations.  Embedding/decoder tables shard over the vocabulary.
+
+Works directly on the eager tape: ``shard_module`` re-places each parameter's
+``jax.Array`` with a ``NamedSharding``; the ``lightgrad_tpu.jit`` step
+compiler then compiles the whole training step SPMD because input shardings
+flow into ``jax.jit``.
+"""
+
+import re
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+__all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES"]
+
+
+# (name regex, PartitionSpec) -- first match wins; unmatched -> replicated
+BERT_TP_RULES = [
+    (r"(query|key|value)\.weight$", P("tp", None)),
+    (r"(query|key|value)\.bias$", P("tp")),
+    (r"attention\.dense\.weight$", P(None, "tp")),
+    (r"intermediate\.weight$", P("tp", None)),
+    (r"intermediate\.bias$", P("tp")),
+    (r"\.output\.weight$", P(None, "tp")),
+    (r"(word_embeddings|decoder)\.weight$", P("tp", None)),
+    (r"decoder\.bias$", P("tp")),
+]
+
+
+def partition_rules(rules, name: str) -> P:
+    for pattern, spec in rules:
+        if re.search(pattern, name):
+            return spec
+    return P()
+
+
+def shard_tensor(t, mesh, spec: P):
+    """Re-place a tape tensor's buffer with a NamedSharding (in place)."""
+    t._set_data(jax.device_put(t.data, NamedSharding(mesh, spec)))
+    return t
+
+
+def shard_module(module, mesh, rules=BERT_TP_RULES, verbose: bool = False):
+    """Apply name-matched partition specs to every parameter of a Module."""
+    for name, p in module.named_parameters():
+        spec = partition_rules(rules, name)
+        if verbose:
+            print(f"  {name}: {spec}")
+        shard_tensor(p, mesh, spec)
+    return module

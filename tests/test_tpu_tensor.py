@@ -222,3 +222,12 @@ def test_model_grads_match_cpu():
         np.testing.assert_allclose(
             cp.grad.numpy(), tp.grad.numpy(), rtol=5e-4, atol=5e-4, err_msg=name
         )
+
+
+def test_narrow():
+    tpu_cpu(lambda t: t.narrow(2, 3), shapes=[(9, 4)])
+    tpu_check(lambda x: x.narrow(1, 4, axis=1), shapes=[(3, 7)])
+    # traced (tensor) start index
+    x = TpuTensor.from_numpy(np.arange(20, dtype=np.float32).reshape(10, 2))
+    s = TpuTensor.from_numpy(np.int32(4), requires_grad=False)
+    np.testing.assert_array_equal(x.narrow(s, 3).numpy(), x.numpy()[4:7])
