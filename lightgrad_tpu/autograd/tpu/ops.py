@@ -359,3 +359,64 @@ class conv(Function):
         xd, wd, strides = ctx.get_saved_tensors()
         gx, gw = kconv_bwd(g.data, xd, wd, strides)
         return _t(gx), _t(gw)
+
+
+# ---------------------------------------------------------------------------
+# fused layer ops (pallas: ops/softmax.py, ops/layernorm.py, ops/attention.py)
+# ---------------------------------------------------------------------------
+from ...ops.softmax import softmax_fwd as ksoftmax_fwd, softmax_bwd as ksoftmax_bwd
+from ...ops.layernorm import layernorm_fwd as kln_fwd, layernorm_bwd_dx as kln_bwd_dx
+from ...ops.attention import attention_fwd as kattn_fwd, attention_bwd as kattn_bwd
+
+
+@TpuTensor.register_op(overwrite=True)
+class softmax(Function):
+    """Fused numerically-stable softmax (overrides the 5-op composite)."""
+
+    def forward(ctx, a, axis: int = -1):
+        axis = axis % a.ndim
+        last = a.ndim - 1
+        ctx.save_for_backward(axis, last)
+        x = a.data if axis == last else jnp.swapaxes(a.data, axis, last)
+        y = ksoftmax_fwd(x)
+        ctx.save_for_backward(y)
+        return _t(y if axis == last else jnp.swapaxes(y, axis, last))
+
+    def backward(ctx, g):
+        axis, last, y = ctx.get_saved_tensors()
+        gd = g.data if axis == last else jnp.swapaxes(g.data, axis, last)
+        gx = ksoftmax_bwd(gd, y)
+        return _t(gx if axis == last else jnp.swapaxes(gx, axis, last))
+
+
+@TpuTensor.register_op()
+class layernorm(Function):
+    """Fused layer normalization over the trailing dims of ``w``'s shape."""
+
+    def forward(ctx, x, w, b, eps: float = 1e-5):
+        y, xhat, rstd = kln_fwd(x.data, w.data, b.data, eps)
+        ctx.save_for_backward(x.shape, w.shape, w.data, xhat, rstd)
+        return _t(y)
+
+    def backward(ctx, g):
+        x_shape, w_shape, wd, xhat, rstd = ctx.get_saved_tensors()
+        r, c = xhat.shape
+        g2 = g.data.reshape(r, c)
+        dx = kln_bwd_dx(g2, wd, xhat, rstd).reshape(x_shape)
+        dw = kreduce(ew(_f_mul, g2, xhat), "sum", axis=0).reshape(w_shape)
+        db = kreduce(g2, "sum", axis=0).reshape(w_shape)
+        return _t(dx), _t(dw), _t(db)
+
+
+@TpuTensor.register_op()
+class attention(Function):
+    """Fused scaled-dot-product attention over (..., S, D) q/k/v."""
+
+    def forward(ctx, q, k, v, scale: float):
+        ctx.save_for_backward(q.data, k.data, v.data, scale)
+        return _t(kattn_fwd(q.data, k.data, v.data, scale))
+
+    def backward(ctx, g):
+        qd, kd, vd, scale = ctx.get_saved_tensors()
+        dq, dk, dv = kattn_bwd(g.data, qd, kd, vd, scale)
+        return _t(dq), _t(dk), _t(dv)

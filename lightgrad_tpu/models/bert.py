@@ -74,11 +74,15 @@ class BertSelfAttention(nn.Module):
         q = self._split(self.query(x), b, s)
         k = self._split(self.key(x), b, s)
         v = self._split(self.value(x), b, s)
-        scores = (q @ k.transpose(0, 1, 3, 2)) * (1.0 / np.sqrt(self.head_dim))
-        if mask is not None:
-            scores = scores + mask
-        probs = scores.softmax(axis=-1)
-        ctx = probs @ v
+        scale = 1.0 / np.sqrt(self.head_dim)
+        if mask is None and hasattr(q, "attention"):
+            # fused flash-attention pallas kernel: scores never hit HBM
+            ctx = q.attention(k, v, scale=scale)
+        else:
+            scores = (q @ k.transpose(0, 1, 3, 2)) * scale
+            if mask is not None:
+                scores = scores + mask
+            ctx = scores.softmax(axis=-1) @ v
         return ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
 

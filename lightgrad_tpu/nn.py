@@ -141,6 +141,9 @@ class LayerNorm(Module):
         assert x.shape[-len(self.shape):] == self.shape, (
             f"LayerNorm shape mismatch: {x.shape} vs {self.shape}"
         )
+        if hasattr(x, "layernorm"):
+            # fused pallas kernel (TPU backend)
+            return x.layernorm(self.weight, self.bias, eps=self.eps)
         axes = tuple(range(len(x.shape) - len(self.shape), len(x.shape)))
         d = x - x.mean(axis=axes, keepdims=True)
         v = (d * d).mean(axis=axes, keepdims=True)

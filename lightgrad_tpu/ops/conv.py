@@ -19,7 +19,7 @@ from math import prod
 import jax
 import jax.numpy as jnp
 
-from .runtime import kernel_mode
+from .runtime import resolve_mode
 from .matmul import _matmul_impl
 
 __all__ = ["conv_fwd", "conv_bwd"]
@@ -98,9 +98,9 @@ def _build_bwd(strides, mode):
 
 def conv_fwd(x, w, strides=1):
     key = strides if isinstance(strides, int) else tuple(strides)
-    return _build_fwd(key, kernel_mode())(x, w)
+    return _build_fwd(key, resolve_mode("conv"))(x, w)
 
 
 def conv_bwd(g, x, w, strides=1):
     key = strides if isinstance(strides, int) else tuple(strides)
-    return _build_bwd(key, kernel_mode())(g, x, w)
+    return _build_bwd(key, resolve_mode("conv"))(g, x, w)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, cdiv
+from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["ew"]
 
@@ -134,4 +134,4 @@ def ew(fn, *xs, n_out: int = 1):
     ``fn`` must be a module-level (stable-identity) function of jnp arrays
     returning one array or a tuple of ``n_out`` arrays.
     """
-    return _build(fn, n_out, kernel_mode())(*xs)
+    return _build(fn, n_out, resolve_mode("elementwise"))(*xs)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, cdiv, round_up
+from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv, round_up
 
 __all__ = ["matmul"]
 
@@ -128,4 +128,4 @@ def _build(mode):
 
 
 def matmul(a, b):
-    return _build(kernel_mode())(a, b)
+    return _build(resolve_mode("matmul"))(a, b)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, cdiv
+from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["reduce"]
 
@@ -98,4 +98,4 @@ def _build(mode, op, axes_key, keepdims):
 
 def reduce(x, op: str, axis=None, keepdims: bool = False):
     axes_key = axis if (axis is None or isinstance(axis, int)) else tuple(axis)
-    return _build(kernel_mode(), op, axes_key, keepdims)(x)
+    return _build(resolve_mode("reduce"), op, axes_key, keepdims)(x)

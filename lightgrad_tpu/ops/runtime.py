@@ -2,7 +2,14 @@
 
 Centralizes platform detection and the kernel-mode switch:
 
-* ``pallas``  -- hand-written Pallas/Mosaic kernels (default on real TPU).
+* ``auto``    -- measured per-op policy (default on real TPU): XLA's fusion
+  for ops where the compiler's own emitters win, hand-written Pallas where
+  they don't (flash attention at long sequence).  Measured on v5e (round 1):
+  XLA matmul >= our GEMM at every size (22-52 TF/s vs 21-40), XLA-fused
+  composites beat per-op pallas kernels *inside jit programs* because a
+  ``pallas_call`` is a fusion barrier; flash attention beats the materialized
+  path from s~1024 (2.9x at s=4096, and O(s) memory instead of O(s^2)).
+* ``pallas``  -- hand-written Pallas/Mosaic kernels for everything.
 * ``xla``     -- pure jnp implementations compiled by XLA (default off-TPU,
   e.g. the 8-virtual-device CPU mesh used in CI; also the reference point the
   Pallas kernels are validated against).
@@ -37,7 +44,7 @@ ON_TPU = jax.default_backend() == "tpu"
 # pallas interpret mode whenever we are not on a real TPU
 INTERPRET = not ON_TPU
 
-_mode = os.environ.get("LIGHTGRAD_KERNELS", "pallas" if ON_TPU else "xla")
+_mode = os.environ.get("LIGHTGRAD_KERNELS", "auto" if ON_TPU else "xla")
 
 
 def kernel_mode() -> str:
@@ -45,11 +52,26 @@ def kernel_mode() -> str:
 
 
 def set_kernel_mode(mode: str) -> str:
-    """Switch between 'pallas' and 'xla' kernel implementations."""
+    """Switch between 'auto', 'pallas' and 'xla' kernel implementations."""
     global _mode
-    assert mode in ("pallas", "xla"), mode
+    assert mode in ("auto", "pallas", "xla"), mode
     prev, _mode = _mode, mode
     return prev
+
+
+def resolve_mode(op: str, **hints) -> str:
+    """Resolve 'auto' to a concrete implementation for one op call.
+
+    The policy encodes round-1 v5e measurements (see module docstring).
+    """
+    mode = _mode
+    if mode != "auto":
+        return mode
+    if op == "attention":
+        # flash wins once the materialized (s, s) scores stop fitting the
+        # cache/bandwidth budget; measured crossover ~1024 on v5e
+        return "pallas" if hints.get("seq", 0) >= 1024 else "xla"
+    return "xla"
 
 
 def cdiv(a: int, b: int) -> int:

@@ -151,3 +151,77 @@ def test_tape_gradcheck_under_pallas():
     check_gradients(
         TpuTensor, lambda x: x.softmax(axis=-1), shapes=[(4, 6)]
     )
+
+
+# ---------------------------------------------------------------------------
+# fused layer kernels: softmax / layernorm / flash attention
+# ---------------------------------------------------------------------------
+from lightgrad_tpu.ops.softmax import softmax_fwd, softmax_bwd
+from lightgrad_tpu.ops.layernorm import layernorm_fwd, layernorm_bwd_dx
+from lightgrad_tpu.ops.attention import attention_fwd, attention_bwd
+
+
+@pytest.mark.parametrize("shape", [(8, 128), (3, 5, 33), (2, 1, 2049)])
+def test_fused_softmax(shape):
+    x = rnd(*shape, lo=-3, hi=3)
+    got = np.asarray(softmax_fwd(x))
+    runtime.set_kernel_mode("xla")
+    want = np.asarray(softmax_fwd(x))
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    g = rnd(*shape)
+    got_b = np.asarray(softmax_bwd(g, jnp.asarray(want)))
+    runtime.set_kernel_mode("xla")
+    want_b = np.asarray(softmax_bwd(g, jnp.asarray(want)))
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,norm", [((6, 33, 64), (64,)), ((13, 257), (257,))])
+def test_fused_layernorm(shape, norm):
+    x, w, b = rnd(*shape), rnd(*norm), rnd(*norm)
+    y, xhat, rstd = layernorm_fwd(x, w, b, 1e-5)
+    runtime.set_kernel_mode("xla")
+    y2, xhat2, rstd2 = layernorm_fwd(x, w, b, 1e-5)
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-5, atol=1e-5)
+    g = rnd(*shape)
+    r = xhat.shape[0]
+    g2 = g.reshape(r, -1)
+    dx = layernorm_bwd_dx(g2, w, xhat, rstd)
+    runtime.set_kernel_mode("xla")
+    dx2 = layernorm_bwd_dx(g2, w, xhat2, rstd2)
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("b,s,d", [(2, 64, 32), (3, 33, 64), (1, 300, 64)])
+def test_flash_attention_fwd(b, s, d):
+    q, k, v = rnd(b, s, d), rnd(b, s, d), rnd(b, s, d)
+    scale = 1.0 / np.sqrt(d)
+    got = np.asarray(attention_fwd(q, k, v, scale))
+    runtime.set_kernel_mode("xla")
+    want = np.asarray(attention_fwd(q, k, v, scale))
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_fused_tape_ops_gradcheck():
+    """layernorm / attention / softmax tape ops pass gradcheck under pallas."""
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    np.random.seed(5)
+    w = TpuTensor.from_numpy(np.random.uniform(0.5, 1.5, 8).astype(np.float32))
+    b = TpuTensor.from_numpy(np.random.uniform(-0.5, 0.5, 8).astype(np.float32))
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (4, 8)).astype(np.float32))
+    assert_gradcheck(lambda t: t.layernorm(w, b, eps=1e-5), x, atol=2e-3, rtol=2e-3)
+    assert_gradcheck(lambda t: x.layernorm(t, b, eps=1e-5), w, atol=2e-3, rtol=2e-3)
+    assert_gradcheck(lambda t: x.layernorm(w, t, eps=1e-5), b, atol=2e-3, rtol=2e-3)
+
+    q = TpuTensor.from_numpy(np.random.uniform(-1, 1, (2, 5, 4)).astype(np.float32))
+    k = TpuTensor.from_numpy(np.random.uniform(-1, 1, (2, 5, 4)).astype(np.float32))
+    v = TpuTensor.from_numpy(np.random.uniform(-1, 1, (2, 5, 4)).astype(np.float32))
+    assert_gradcheck(lambda t: t.attention(k, v, scale=0.5), q, atol=2e-3, rtol=2e-3)
+    assert_gradcheck(lambda t: q.attention(t, v, scale=0.5), k, atol=2e-3, rtol=2e-3)
+    assert_gradcheck(lambda t: q.attention(k, t, scale=0.5), v, atol=2e-3, rtol=2e-3)
