@@ -42,7 +42,9 @@ class MLP(nn.Module):
 
 
 def main(model_kind="mlp", steps=200, batch=128, use_jit=True, profile=False):
-    train = light.data.MNIST(train=True, batchsize=batch)
+    mnist = light.data.MNIST(train=True, batchsize=batch)
+    # device-resident pipeline: whole train set in HBM, batches are slices
+    train = light.data.DeviceDataset(mnist.tensors, batchsize=batch)
     test = light.data.MNIST(train=False, n=2_000, shuffle=False, batchsize=256)
 
     model = MLP() if model_kind == "mlp" else CNN()
@@ -53,7 +55,13 @@ def main(model_kind="mlp", steps=200, batch=128, use_jit=True, profile=False):
             x.shape[0], 1, 28, 28
         )
 
-    def train_step(x, y):
+    xs_dev, ys_dev = train.tensors
+    bs = batch
+
+    def train_step(off):
+        # batch slicing happens inside the compiled program (narrow op)
+        x = xs_dev.narrow(off, bs)
+        y = ys_dev.narrow(off, bs)
         out = model(prep(x))
         loss = light.loss.cross_entropy(out, y)
         optim.zero_grad()
@@ -66,24 +74,26 @@ def main(model_kind="mlp", steps=200, batch=128, use_jit=True, profile=False):
     profiler = light.Profiler() if profile else None
     done, t0, losses = 0, None, []
     while done < steps:
-        for x, y in train:
+        for off in train.offsets():
             if done >= steps:
                 break
             if profiler:
                 with profiler:
-                    loss = step_fn(x, y)
+                    loss = step_fn(off)
             else:
-                loss = step_fn(x, y)
+                loss = step_fn(off)
             done += 1
-            if done == 1:
-                loss.numpy()  # make sure warmup/compile is excluded from timing
+            if done == 3:
+                # steps 1-2 are the jit record + compile phases
+                loss.numpy()
                 t0 = time.perf_counter()
             if done % 50 == 0:
                 losses.append(loss.item())
                 print(f"step {done}: loss {losses[-1]:.4f}")
     loss.numpy()
     dt = time.perf_counter() - t0
-    print(f"{steps} steps in {dt:.3f}s ({(steps - 1) / dt:.1f} steps/s)")
+    timed = max(steps - 3, 1)
+    print(f"{timed} steps in {dt:.3f}s ({timed / dt:.1f} steps/s)")
     if profiler:
         profiler.print(topn=15)
 

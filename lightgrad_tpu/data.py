@@ -11,10 +11,12 @@ from math import ceil
 
 import numpy as np
 
-from .autograd import Tensor
+from .autograd import Tensor, no_grad
+from .autograd.cpu import CpuTensor
 from .utils import fetch
+from . import native
 
-__all__ = ["Dataset", "MNIST"]
+__all__ = ["Dataset", "DeviceDataset", "MNIST"]
 
 
 class Dataset:
@@ -24,12 +26,24 @@ class Dataset:
         self._shuffle, self._bs = shuffle, batchsize
 
     @property
+    def tensors(self) -> tuple:
+        return self._tensors
+
+    @property
     def n(self) -> int:
         return self._tensors[0].shape[0]
 
     def shuffle(self):
-        idx = np.random.permutation(self.n)
-        self._tensors = tuple(t[idx].detach() for t in self._tensors)
+        seed = int(np.random.randint(0, 2**62))
+        idx = native.shuffle_perm(self.n, seed)
+
+        def permute(t):
+            if isinstance(t, CpuTensor):
+                # native parallel row gather on the host
+                return type(t).from_numpy(native.gather_rows(t.data, idx), requires_grad=False)
+            return t[idx].detach()  # device-side gather for accelerator tensors
+
+        self._tensors = tuple(permute(t) for t in self._tensors)
 
     def __getitem__(self, i):
         return tuple(t[i, ...].detach() for t in self._tensors)
@@ -42,6 +56,70 @@ class Dataset:
 
     def __len__(self) -> int:
         return ceil(self.n / self._bs)
+
+
+class DeviceDataset(Dataset):
+    """Device-resident dataset: the TPU-idiomatic data pipeline.
+
+    The whole dataset is uploaded to the accelerator once; batches are HBM
+    slices (the ``narrow`` op) and epoch shuffles are device-side gathers, so
+    per-step host<->device traffic is zero.  Batch tensors keep a constant
+    shape, which makes them directly compatible with the ``lightgrad_tpu.jit``
+    step compiler (the final ragged batch is dropped).
+    """
+
+    def __init__(self, tensors, shuffle: bool = True, batchsize: int = 8):
+        from .autograd import TpuTensor
+
+        tensors = tuple(
+            t if isinstance(t, TpuTensor)
+            else TpuTensor.from_numpy(t.numpy() if hasattr(t, "numpy") else t,
+                                      requires_grad=False)
+            for t in tensors
+        )
+        super().__init__(tensors, shuffle=shuffle, batchsize=batchsize)
+
+    def __len__(self) -> int:
+        return self.n // self._bs  # whole batches only (constant shapes)
+
+    def shuffle(self):
+        # device-side gather, swapping buffers IN PLACE so tensors captured
+        # by a compiled step (lightgrad_tpu.jit) keep observing fresh epochs
+        seed = int(np.random.randint(0, 2**62))
+        idx = native.shuffle_perm(self.n, seed)
+        with no_grad():
+            for t in self._tensors:
+                t._set_data(t[idx].detach().data)
+
+    def __getitem__(self, i):
+        """Batch ``i`` as zero-copy HBM slices (unlike the base class, the
+        index here is a *batch* index, not a row index)."""
+        with no_grad():
+            return tuple(
+                t.narrow(i * self._bs, self._bs).detach() for t in self._tensors
+            )
+
+    def __iter__(self):
+        if self._shuffle:
+            self.shuffle()
+        for i in range(len(self)):
+            yield self[i]
+
+    def offsets(self):
+        """Iterate batch *offsets* as 0-d device scalars (4 bytes of host
+        traffic per step).  Use with a jit step that narrows internally::
+
+            step = light.jit(lambda off: train_step(
+                xs.narrow(off, B), ys.narrow(off, B)))
+            for off in ds.offsets():
+                loss = step(off)
+        """
+        from .autograd import TpuTensor
+
+        if self._shuffle:
+            self.shuffle()
+        for i in range(len(self)):
+            yield TpuTensor.from_numpy(np.int32(i * self._bs), requires_grad=False)
 
 
 _MNIST_MIRRORS = [

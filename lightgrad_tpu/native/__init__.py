@@ -1,0 +1,106 @@
+"""ctypes bridge to the native (C++) data-loader core.
+
+Auto-builds ``libltgnative.so`` with the in-tree Makefile on first import and
+degrades gracefully to numpy when no toolchain is available (set
+``LIGHTGRAD_NATIVE=0`` to force the numpy path).  See ``dataloader.cc`` for
+the exported surface.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+__all__ = ["available", "u8_to_f32", "shuffle_perm", "gather_rows", "one_hot"]
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libltgnative.so")
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None or os.environ.get("LIGHTGRAD_NATIVE") == "0":
+        return _lib
+    try:
+        if not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH)
+            < os.path.getmtime(os.path.join(_DIR, "dataloader.cc"))
+        ):
+            subprocess.run(
+                ["make", "-s"], cwd=_DIR, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        lib = ctypes.CDLL(_LIB_PATH)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lg_u8_to_f32.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_float]
+        lib.lg_shuffle_perm.argtypes = [i64p, ctypes.c_int64, ctypes.c_uint64]
+        lib.lg_gather_rows.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p]
+        lib.lg_one_hot.argtypes = [i32p, f32p, ctypes.c_int64, ctypes.c_int64]
+        _lib = lib
+    except Exception as e:  # noqa: BLE001 - any build/load failure -> numpy path
+        print(f"lightgrad_tpu.native unavailable ({e}); using numpy fallbacks")
+        _lib = False
+    return _lib
+
+
+def available() -> bool:
+    return bool(_load())
+
+
+def _ptr(arr, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def u8_to_f32(src: np.ndarray, scale: float = 1.0 / 255.0) -> np.ndarray:
+    lib = _load()
+    src = np.ascontiguousarray(src, dtype=np.uint8)
+    if not lib:
+        return src.astype(np.float32) * scale
+    out = np.empty(src.shape, dtype=np.float32)
+    lib.lg_u8_to_f32(_ptr(src, ctypes.c_uint8), _ptr(out, ctypes.c_float),
+                     src.size, ctypes.c_float(scale))
+    return out
+
+
+def shuffle_perm(n: int, seed: int) -> np.ndarray:
+    lib = _load()
+    if not lib:
+        return np.random.default_rng(seed).permutation(n)
+    out = np.empty(n, dtype=np.int64)
+    lib.lg_shuffle_perm(_ptr(out, ctypes.c_int64), n, ctypes.c_uint64(seed))
+    return out
+
+
+def gather_rows(src: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Contiguous batch gather: rows src[idx] -> fresh (len(idx), ...)."""
+    lib = _load()
+    src = np.ascontiguousarray(src)
+    if not lib:
+        return src[idx]
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    out = np.empty((len(idx),) + src.shape[1:], dtype=src.dtype)
+    row_bytes = src.dtype.itemsize * int(np.prod(src.shape[1:], dtype=np.int64))
+    lib.lg_gather_rows(
+        src.view(np.uint8).reshape(-1).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        _ptr(idx, ctypes.c_int64), len(idx), row_bytes,
+        out.view(np.uint8).reshape(-1).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out
+
+
+def one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    lib = _load()
+    labels = np.ascontiguousarray(labels, dtype=np.int32)
+    if not lib:
+        out = np.zeros((len(labels), num_classes), dtype=np.float32)
+        out[np.arange(len(labels)), labels] = 1.0
+        return out
+    out = np.empty((len(labels), num_classes), dtype=np.float32)
+    lib.lg_one_hot(_ptr(labels, ctypes.c_int32), _ptr(out, ctypes.c_float),
+                   len(labels), num_classes)
+    return out

@@ -77,7 +77,11 @@ class Module:
                 assert isinstance(new_p, np.ndarray), f"unexpected parameter type {type(new_p).__name__}"
                 new_p = type(p).from_numpy(new_p)
             assert p.shape == new_p.shape, f"shape mismatch for {full}: {p.shape} != {new_p.shape}"
-            self.__setattr__(key, new_p)
+            # swap the buffer IN PLACE: optimizers (and any other holder of
+            # this tensor object) keep observing the loaded values -- the
+            # reference replaced the object, silently orphaning optimizer
+            # references on checkpoint resume
+            p._set_data(new_p.data)
         for key, m in self._modules.items():
             m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
 

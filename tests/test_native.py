@@ -1,0 +1,72 @@
+"""Native (C++) data-loader core + DeviceDataset tests."""
+
+import numpy as np
+import pytest
+
+from lightgrad_tpu import native
+
+
+def test_native_builds():
+    assert native.available(), "native library failed to build"
+
+
+def test_u8_to_f32():
+    src = np.random.randint(0, 256, (1000,), dtype=np.uint8)
+    np.testing.assert_allclose(
+        native.u8_to_f32(src), src.astype(np.float32) / 255.0, rtol=1e-7
+    )
+
+
+def test_shuffle_perm():
+    p = native.shuffle_perm(1000, seed=42)
+    assert sorted(p) == list(range(1000))
+    p2 = native.shuffle_perm(1000, seed=42)
+    np.testing.assert_array_equal(p, p2)  # deterministic
+    assert not np.array_equal(p, np.arange(1000))
+
+
+def test_gather_rows():
+    src = np.random.rand(100, 7, 3).astype(np.float32)
+    idx = np.random.randint(0, 100, 32)
+    np.testing.assert_array_equal(native.gather_rows(src, idx), src[idx])
+
+
+def test_one_hot():
+    labels = np.array([0, 3, 9, 3], dtype=np.int32)
+    out = native.one_hot(labels, 10)
+    expect = np.zeros((4, 10), np.float32)
+    expect[np.arange(4), labels] = 1
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_dataset_native_shuffle_pairs_rows():
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import CpuTensor
+
+    xs = np.arange(50, dtype=np.float32).reshape(50, 1)
+    ds = light.data.Dataset(
+        (CpuTensor.from_numpy(xs, requires_grad=False),
+         CpuTensor.from_numpy(xs.squeeze(-1), requires_grad=False)),
+        shuffle=True, batchsize=16,
+    )
+    seen = []
+    for x, y in ds:
+        np.testing.assert_array_equal(x.numpy().squeeze(-1), y.numpy())
+        seen.extend(y.numpy().tolist())
+    assert sorted(seen) == list(range(50))
+
+
+def test_device_dataset():
+    import lightgrad_tpu as light
+
+    xs = np.arange(40, dtype=np.float32).reshape(20, 2)
+    ys = np.arange(20, dtype=np.int32)
+    ds = light.data.DeviceDataset((xs, ys), shuffle=False, batchsize=8)
+    batches = list(ds)
+    assert len(batches) == 2  # ragged tail dropped for constant shapes
+    np.testing.assert_array_equal(batches[0][0].numpy(), xs[:8])
+    np.testing.assert_array_equal(batches[1][1].numpy(), ys[8:16])
+    # shuffled epoch keeps rows paired
+    ds2 = light.data.DeviceDataset((xs, ys), shuffle=True, batchsize=8)
+    for x, y in ds2:
+        np.testing.assert_array_equal(x.numpy()[:, 0], 2 * y.numpy())

@@ -206,3 +206,47 @@ def test_embedding():
     g = emb.weight.grad.numpy()
     assert g[3].sum() == pytest.approx(2 * 8)  # row 3 gathered twice
     assert g[0].sum() == 0
+
+
+def test_checkpoint_resume_bitexact(tmp_path):
+    """Training resumed from a checkpoint matches uninterrupted training."""
+    import lightgrad_tpu.checkpoint as ckpt
+
+    x_np = np.random.uniform(-1, 1, (16, 6)).astype(np.float32)
+    y_np = np.random.uniform(-1, 1, (16, 3)).astype(np.float32)
+
+    def build():
+        np.random.seed(11)
+        model = TwoLayer()
+        optim = light.optim.AdaBelief(model.parameters(), lr=0.01)
+        return model, optim
+
+    def step(model, optim):
+        x = light.Tensor.from_numpy(x_np, requires_grad=False)
+        y = light.Tensor.from_numpy(y_np, requires_grad=False)
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss.item()
+
+    # uninterrupted: 6 steps
+    m1, o1 = build()
+    for _ in range(6):
+        l_straight = step(m1, o1)
+
+    # interrupted: 3 steps, save, fresh objects, load, 3 more
+    m2, o2 = build()
+    for _ in range(3):
+        step(m2, o2)
+    path = str(tmp_path / "ck.npz")
+    ckpt.save_checkpoint(path, m2, o2, step=3, note=42)
+    m3, o3 = build()
+    meta = ckpt.load_checkpoint(path, m3, o3)
+    assert int(meta["step"]) == 3 and int(meta["note"]) == 42
+    for _ in range(3):
+        l_resumed = step(m3, o3)
+
+    np.testing.assert_allclose(l_resumed, l_straight, rtol=1e-6, atol=1e-7)
+    for (_, a), (_, b) in zip(m1.named_parameters(), m3.named_parameters()):
+        np.testing.assert_allclose(a.numpy(), b.numpy(), rtol=1e-6, atol=1e-7)
