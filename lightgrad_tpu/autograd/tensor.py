@@ -68,7 +68,11 @@ class AbstractTensor:
     @property
     def data(self):
         if _trace is not None:
-            _trace.on_read(self)
+            return _trace.on_read(self)
+        return self.__data
+
+    def _raw_data(self):
+        """Backing buffer without triggering trace hooks."""
         return self.__data
 
     @property

@@ -412,11 +412,11 @@ class layernorm(Function):
 class attention(Function):
     """Fused scaled-dot-product attention over (..., S, D) q/k/v."""
 
-    def forward(ctx, q, k, v, scale: float):
-        ctx.save_for_backward(q.data, k.data, v.data, scale)
-        return _t(kattn_fwd(q.data, k.data, v.data, scale))
+    def forward(ctx, q, k, v, scale: float, causal: bool = False):
+        ctx.save_for_backward(q.data, k.data, v.data, scale, causal)
+        return _t(kattn_fwd(q.data, k.data, v.data, scale, causal=causal))
 
     def backward(ctx, g):
-        qd, kd, vd, scale = ctx.get_saved_tensors()
-        dq, dk, dv = kattn_bwd(g.data, qd, kd, vd, scale)
+        qd, kd, vd, scale, causal = ctx.get_saved_tensors()
+        dq, dk, dv = kattn_bwd(g.data, qd, kd, vd, scale, causal=causal)
         return _t(dq), _t(dk), _t(dv)

@@ -38,19 +38,59 @@ __all__ = ["jit"]
 
 
 class _Recorder:
-    def __init__(self):
+    """Observes tensor reads/writes/creations during the recording step.
+
+    On TPU, reads of device-resident buffers are *staged to the host CPU
+    backend* for the duration of the recording, so the one-time eager warmup
+    step compiles its ~N-per-op programs locally instead of through the
+    (potentially slow, e.g. tunneled) accelerator compiler.  Mutated buffers
+    are pushed back to their original device/sharding afterwards.
+    """
+
+    def __init__(self, stage_to_cpu=False):
         self.reads = {}
         self.writes = {}
         self.created = set()
+        self.staged = {}        # id(tensor) -> cpu copy of its original buffer
+        self.orig_place = {}    # id(tensor) -> original sharding
+        self.cpu = None
+        if stage_to_cpu:
+            try:
+                self.cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                pass
 
     def on_read(self, t):
         self.reads.setdefault(id(t), t)
+        d = t._raw_data()
+        if self.cpu is not None and isinstance(d, jax.Array):
+            if next(iter(d.devices())).platform != "cpu":
+                cached = self.staged.get(id(t))
+                if cached is None or cached[0] is not d:
+                    self.orig_place.setdefault(id(t), d.sharding)
+                    cached = (d, jax.device_put(d, self.cpu))
+                    self.staged[id(t)] = cached
+                return cached[1]
+        return d
 
     def on_write(self, t):
         self.writes.setdefault(id(t), t)
 
     def on_create(self, t):
         self.created.add(id(t))
+
+    def restore_devices(self):
+        """Move buffers written during recording back to their device."""
+        if self.cpu is None:
+            return
+        for tid, t in self.writes.items():
+            d = t._raw_data()
+            if isinstance(d, jax.Array) and next(iter(d.devices())).platform == "cpu":
+                place = self.orig_place.get(tid)
+                if place is not None:
+                    t._set_data(jax.device_put(d, place))
+                else:
+                    t._set_data(jax.device_put(d, jax.devices()[0]))
 
 
 class _TraceScope:
@@ -93,9 +133,24 @@ class _CompiledStep:
 
     # -- phase 1: real eager step, discovering reads/writes/captures --------
     def _record(self, sig, args):
-        rec = _Recorder()
-        with _TraceScope(rec):
+        import contextlib
+
+        stage = jax.default_backend() != "cpu"
+        rec = _Recorder(stage_to_cpu=stage)
+        dev_ctx = (
+            jax.default_device(rec.cpu) if rec.cpu is not None else contextlib.nullcontext()
+        )
+        with _TraceScope(rec), dev_ctx:
             out = self.fn(*args)
+        # recording ran on the host backend; move results back to the device
+        rec.restore_devices()
+        if rec.cpu is not None:
+            default = jax.devices()[0]
+            for leaf in jax.tree_util.tree_leaves(out, is_leaf=_is_tensor):
+                if _is_tensor(leaf):
+                    d = leaf._raw_data()
+                    if isinstance(d, jax.Array) and next(iter(d.devices())).platform == "cpu":
+                        leaf._set_data(jax.device_put(d, default))
         arg_ids = {id(t) for t in args if _is_tensor(t)}
         captured = [
             t

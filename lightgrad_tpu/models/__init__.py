@@ -1,1 +1,2 @@
 from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
+from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer

@@ -25,7 +25,7 @@ __all__ = ["attention_fwd", "attention_bwd"]
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk, bk, s):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk, bk, bq, s, causal):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -39,9 +39,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (bq, bk)
-    if s % bk != 0:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(col + kb * bk < s, scores, _NEG_INF)
+    if s % bk != 0 or causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + kb * bk
+        valid = col < s
+        if causal:
+            row = (
+                jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+                + pl.program_id(1) * bq
+            )
+            valid = jnp.logical_and(valid, col <= row)
+        scores = jnp.where(valid, scores, _NEG_INF)
 
     m_prev = m_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
@@ -59,7 +66,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
 
 
-def _flash_fwd(q, k, v, scale):
+def _flash_fwd(q, k, v, scale, causal=False):
     """q, k, v: (B, S, D) -> (B, S, D)."""
     b, s, d = q.shape
     bq = min(256, max(8, (min(s, 256) // 8) * 8))
@@ -67,7 +74,7 @@ def _flash_fwd(q, k, v, scale):
     bk = min(bk, 2048)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, nk=nk, bk=bk, s=s),
+        functools.partial(_flash_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
         grid=(b, nq, nk),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
@@ -85,7 +92,13 @@ def _flash_fwd(q, k, v, scale):
     )(q, k, v)
 
 
-def _attn_fwd_impl(q, k, v, scale, mode):
+def _causal_mask(s):
+    row = jnp.arange(s)[:, None]
+    col = jnp.arange(s)[None, :]
+    return jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+
+
+def _attn_fwd_impl(q, k, v, scale, mode, causal=False):
     shape = q.shape  # (..., S, D)
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
@@ -93,13 +106,15 @@ def _attn_fwd_impl(q, k, v, scale, mode):
     if mode == "xla":
         scores = jnp.einsum("bqd,bkd->bqk", q3, k3,
                             precision=jax.lax.Precision.HIGHEST) * scale
+        if causal:
+            scores = scores + _causal_mask(s)
         probs = jax.nn.softmax(scores, axis=-1)
         return jnp.einsum("bqk,bkd->bqd", probs, v3,
                           precision=jax.lax.Precision.HIGHEST).reshape(shape)
-    return _flash_fwd(q3, k3, v3, scale).reshape(shape)
+    return _flash_fwd(q3, k3, v3, scale, causal=causal).reshape(shape)
 
 
-def _attn_bwd_impl(g, q, k, v, scale, mode):
+def _attn_bwd_impl(g, q, k, v, scale, mode, causal=False):
     """Recompute-based backward (one fused XLA program)."""
     shape = q.shape
     s, d = shape[-2], shape[-1]
@@ -107,6 +122,8 @@ def _attn_bwd_impl(g, q, k, v, scale, mode):
     g3, q3, k3, v3 = (x.reshape(b, s, d) for x in (g, q, k, v))
     prec = jax.lax.Precision.HIGHEST
     scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=prec) * scale
+    if causal:
+        scores = scores + _causal_mask(s)
     p = jax.nn.softmax(scores, axis=-1)
     dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=prec)
     dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=prec)
@@ -117,14 +134,16 @@ def _attn_bwd_impl(g, q, k, v, scale, mode):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(which, scale, mode):
+def _build(which, scale, mode, causal):
     impl = _attn_fwd_impl if which == "fwd" else _attn_bwd_impl
-    return jax.jit(functools.partial(impl, scale=scale, mode=mode))
+    return jax.jit(functools.partial(impl, scale=scale, mode=mode, causal=causal))
 
 
-def attention_fwd(q, k, v, scale: float):
-    return _build("fwd", float(scale), resolve_mode("attention", seq=q.shape[-2]))(q, k, v)
+def attention_fwd(q, k, v, scale: float, causal: bool = False):
+    mode = resolve_mode("attention", seq=q.shape[-2])
+    return _build("fwd", float(scale), mode, causal)(q, k, v)
 
 
-def attention_bwd(g, q, k, v, scale: float):
-    return _build("bwd", float(scale), resolve_mode("attention", seq=q.shape[-2]))(g, q, k, v)
+def attention_bwd(g, q, k, v, scale: float, causal: bool = False):
+    mode = resolve_mode("attention", seq=q.shape[-2])
+    return _build("bwd", float(scale), mode, causal)(g, q, k, v)

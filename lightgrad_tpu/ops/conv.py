@@ -51,9 +51,26 @@ def _patches(x, ksize, strides):
     return stacked.reshape(bsz * prod(out_sp), cin * prod(ksize)), out_sp
 
 
+def _dim_numbers(n):
+    sp = "DHW"[3 - n :]
+    return ("NC" + sp, "OI" + sp, "NC" + sp)
+
+
+def _xla_conv(x, w, strides):
+    """XLA's native conv emitter -- the optimal MXU path for conv shapes."""
+    n = w.ndim - 2
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=strides, padding="VALID",
+        dimension_numbers=_dim_numbers(n),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _conv_fwd_impl(x, w, strides, mode):
     n = w.ndim - 2
     strides = _norm_strides(strides, n)
+    if mode == "xla":
+        return _xla_conv(x, w, strides)
     bsz, cout = x.shape[0], w.shape[0]
     pm, out_sp = _patches(x, w.shape[2:], strides)
     w_flat = w.reshape(cout, -1)
@@ -65,6 +82,10 @@ def _conv_fwd_impl(x, w, strides, mode):
 def _conv_bwd_impl(g, x, w, strides, mode):
     n = w.ndim - 2
     strides = _norm_strides(strides, n)
+    if mode == "xla":
+        # jax AD emits the canonical transpose convs for input/weight grads
+        _, vjp = jax.vjp(lambda xx, ww: _xla_conv(xx, ww, strides), x, w)
+        return tuple(vjp(g))
     bsz, cout = x.shape[0], w.shape[0]
     out_sp = g.shape[2:]
     g_flat = jnp.moveaxis(g, 1, -1).reshape(bsz * prod(out_sp), cout)

@@ -1,0 +1,100 @@
+"""GPT-2 family tests: causal attention, HF parity, training."""
+
+import io
+
+import numpy as np
+import pytest
+
+import lightgrad_tpu as light
+from lightgrad_tpu.autograd import TpuTensor
+from lightgrad_tpu.models import GPT, GPTConfig, GPT2Tokenizer, ByteTokenizer
+
+np.random.seed(0)
+
+
+def test_causal_attention_matches_masked_composite():
+    b, s, d = 2, 16, 8
+    q = TpuTensor.from_numpy(np.random.randn(b, s, d).astype(np.float32))
+    k = TpuTensor.from_numpy(np.random.randn(b, s, d).astype(np.float32))
+    v = TpuTensor.from_numpy(np.random.randn(b, s, d).astype(np.float32))
+    got = q.attention(k, v, scale=0.5, causal=True)
+    # reference: explicit mask + composite softmax
+    mask = np.triu(np.full((s, s), -1e30, np.float32), k=1)
+    scores = (q @ k.transpose(0, 2, 1)) * 0.5 + TpuTensor.from_numpy(mask, requires_grad=False)
+    want = scores.softmax(axis=-1) @ v
+    np.testing.assert_allclose(got.numpy(), want.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_causal_attention_gradcheck():
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    q = TpuTensor.from_numpy(np.random.uniform(-1, 1, (1, 5, 4)).astype(np.float32))
+    k = TpuTensor.from_numpy(np.random.uniform(-1, 1, (1, 5, 4)).astype(np.float32))
+    v = TpuTensor.from_numpy(np.random.uniform(-1, 1, (1, 5, 4)).astype(np.float32))
+    assert_gradcheck(lambda t: t.attention(k, v, scale=0.5, causal=True), q, atol=2e-3, rtol=2e-3)
+    assert_gradcheck(lambda t: q.attention(t, v, scale=0.5, causal=True), k, atol=2e-3, rtol=2e-3)
+
+
+def test_gpt_matches_transformers():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.GPT2Config(
+        vocab_size=97, n_positions=32, n_embd=48, n_layer=2, n_head=4,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.GPT2LMHeadModel(hf_cfg).eval()
+    buf = io.BytesIO()
+    torch.save(hf.state_dict(), buf)
+
+    from lightgrad_tpu.utils import load_torch_state_dict
+
+    state = load_torch_state_dict(buf.getvalue())
+    model = GPT(GPTConfig(vocab_size=97, n_positions=32, n_embd=48,
+                          n_layer=2, n_head=4))
+    model.load_parameters(GPT.remap_hf_state(state))
+
+    ids = np.random.randint(0, 97, (2, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = hf(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = model(TpuTensor.from_numpy(ids, requires_grad=False)).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_gpt_trains_and_generates():
+    cfg = GPTConfig(vocab_size=40, n_positions=16, n_embd=32, n_layer=2, n_head=2)
+    model = GPT(cfg)
+    optim = light.optim.Adam(model.parameters(), lr=3e-3)
+    seq = (np.arange(15) % 40).astype(np.int32)  # predictable pattern
+    x = TpuTensor.from_numpy(seq[None, :-1], requires_grad=False)
+    y = TpuTensor.from_numpy(seq[1:], requires_grad=False)
+    losses = []
+    for _ in range(30):
+        logits = model(x).reshape(14, cfg.vocab_size)
+        loss = light.loss.cross_entropy(logits, y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+    out = model.generate(seq[:4].tolist(), max_new_tokens=5)
+    assert len(out) == 9 and all(0 <= t < 40 for t in out)
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = ByteTokenizer()
+    text = "hello TPU world!"
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_gpt2_bpe_tokenizer():
+    # tiny handcrafted BPE: bytes-to-unicode of 'l'+'l' merge then 'll'+'o'
+    enc = GPT2Tokenizer._bytes_to_unicode()
+    h, e, l, o, sp, w = (enc[ord(c)] for c in "helo w")
+    vocab = {h: 0, e: 1, l: 2, o: 3, "ll": 4, "llo": 5, sp + w: 6}
+    merges = [(l, l), ("ll", o), (sp, w)]
+    tok = GPT2Tokenizer(vocab, merges)
+    ids = tok.encode("hello w")
+    assert ids == [0, 1, 5, 6]
+    assert tok.decode(ids) == "hello w"
