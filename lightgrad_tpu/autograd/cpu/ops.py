@@ -407,3 +407,16 @@ class conv(Function):
             )
             gx[(slice(None), slice(None)) + dst] += contrib
         return _t(gx), _t(gw)
+
+
+@CpuTensor.register_op()
+class astype(Function):
+    """Dtype cast (differentiable: gradient casts back)."""
+
+    def forward(ctx, a, dtype):
+        ctx.save_for_backward(a.dtype)
+        return _t(a.data.astype(dtype))
+
+    def backward(ctx, g):
+        (dtype,) = ctx.get_saved_tensors()
+        return _t(g.data.astype(dtype))

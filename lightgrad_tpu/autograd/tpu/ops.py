@@ -420,3 +420,20 @@ class attention(Function):
         qd, kd, vd, scale, causal = ctx.get_saved_tensors()
         dq, dk, dv = kattn_bwd(g.data, qd, kd, vd, scale, causal=causal)
         return _t(dq), _t(dk), _t(dv)
+
+
+@TpuTensor.register_op()
+class astype(Function):
+    """Dtype cast (differentiable: gradient casts back).
+
+    Enables bf16 parameter/activation training: bf16 operands always take the
+    MXU fast path (no multi-pass f32 emulation).
+    """
+
+    def forward(ctx, a, dtype):
+        ctx.save_for_backward(a.dtype)
+        return _t(a.data.astype(dtype))
+
+    def backward(ctx, g):
+        (dtype,) = ctx.get_saved_tensors()
+        return _t(g.data.astype(dtype))

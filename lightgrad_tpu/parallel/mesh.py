@@ -15,10 +15,15 @@ from jax.sharding import Mesh
 __all__ = ["make_mesh"]
 
 
-def make_mesh(dp: int = 1, tp: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh over the first dp*tp available devices."""
+def make_mesh(dp: int = 1, tp: int = 1, devices=None, **extra_axes) -> Mesh:
+    """Build a mesh over the first prod(sizes) devices.
+
+    Default axes are ``(dp, tp)``; extra named axes (e.g. ``sp=2`` for
+    sequence sharding, ``pp=2`` for pipeline stages) append in kwarg order.
+    """
+    sizes = {"dp": dp, "tp": tp, **extra_axes}
     devices = list(devices if devices is not None else jax.devices())
-    need = dp * tp
+    need = int(np.prod(list(sizes.values())))
     assert need <= len(devices), f"need {need} devices, have {len(devices)}"
-    arr = np.array(devices[:need]).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+    arr = np.array(devices[:need]).reshape(tuple(sizes.values()))
+    return Mesh(arr, tuple(sizes.keys()))

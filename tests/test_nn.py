@@ -250,3 +250,16 @@ def test_checkpoint_resume_bitexact(tmp_path):
     np.testing.assert_allclose(l_resumed, l_straight, rtol=1e-6, atol=1e-7)
     for (_, a), (_, b) in zip(m1.named_parameters(), m3.named_parameters()):
         np.testing.assert_allclose(a.numpy(), b.numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_astype_bf16_roundtrip():
+    import jax.numpy as jnp
+
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (8, 8)).astype(np.float32))
+    y = (x.astype(jnp.bfloat16) @ x.astype(jnp.bfloat16).T(1, 0)).astype(jnp.float32)
+    loss = y.sum()
+    loss.backward()
+    assert x.grad is not None and x.grad.dtype == np.float32
+    # value sanity vs f32 at bf16 tolerance
+    want = (x.numpy() @ x.numpy().T).sum()
+    np.testing.assert_allclose(loss.item(), want, rtol=2e-2)
