@@ -69,6 +69,11 @@ def main(model_kind="mlp", steps=200, batch=128, use_jit=True, profile=False):
         optim.step()
         return loss
 
+    if profile and use_jit:
+        # the per-op profiler observes tape dispatches; a jit-compiled step
+        # is ONE fused program (profile that with jax.profiler instead)
+        print("profiling runs the eager tape (per-op timings)")
+        use_jit = False
     step_fn = light.jit(train_step) if use_jit else train_step
 
     profiler = light.Profiler() if profile else None

@@ -134,8 +134,15 @@ class _CompiledStep:
     # -- phase 1: real eager step, discovering reads/writes/captures --------
     def _record(self, sig, args):
         import contextlib
+        import os
 
-        stage = jax.default_backend() != "cpu"
+        # staging runs the recording step's arithmetic on the host backend
+        # (fast local compiles); set LIGHTGRAD_STAGE_RECORD=0 when the first
+        # step must be bit-identical to device execution
+        stage = (
+            jax.default_backend() != "cpu"
+            and os.environ.get("LIGHTGRAD_STAGE_RECORD") != "0"
+        )
         rec = _Recorder(stage_to_cpu=stage)
         dev_ctx = (
             jax.default_device(rec.cpu) if rec.cpu is not None else contextlib.nullcontext()
@@ -210,6 +217,17 @@ class _CompiledStep:
         arg_datas = [t.data for t in args if _is_tensor(t)]
         mut_in = [t.data for t in state["cap_mut"]]
         const_in = [t.data for t in state["cap_const"]]
+        # guard against capture drift: if someone re-assigned a captured
+        # tensor to a different shape/dtype since compilation, re-record
+        # instead of dispatching a stale program
+        if "cap_sig" not in state:
+            state["cap_sig"] = [
+                (d.shape, d.dtype) for d in mut_in + const_in
+            ]
+        elif state["cap_sig"] != [(d.shape, d.dtype) for d in mut_in + const_in]:
+            sig = self._signature(args)
+            del self.cache[sig]
+            return self._record(sig, args)
         out_datas, mut_datas = state["compiled"](arg_datas, mut_in, const_in)
         for t, d in zip(state["mutated"], mut_datas):
             t._set_data(d)

@@ -32,15 +32,19 @@ __all__ = ["ON_TPU", "INTERPRET", "kernel_mode", "set_kernel_mode", "cdiv", "rou
 # persistent compilation cache: the eager tape compiles one small XLA program
 # per (op, shape) -- caching them across processes removes the dominant
 # first-run latency (especially over tunneled TPU connections)
+ON_TPU = jax.default_backend() == "tpu"
+
 if os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
+    # one cache dir per platform: mixing them makes the CPU AOT loader warn
+    # about machine-feature mismatches on every load
+    _suffix = "" if ON_TPU else f"_{jax.default_backend()}"
     _cache_dir = os.environ.get(
-        "LIGHTGRAD_COMPILE_CACHE", os.path.expanduser("~/.cache/lightgrad_tpu_xla")
+        "LIGHTGRAD_COMPILE_CACHE",
+        os.path.expanduser(f"~/.cache/lightgrad_tpu_xla{_suffix}"),
     )
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-
-ON_TPU = jax.default_backend() == "tpu"
 # pallas interpret mode whenever we are not on a real TPU
 INTERPRET = not ON_TPU
 

