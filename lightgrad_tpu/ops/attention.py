@@ -37,7 +37,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
     q = q_ref[0]  # (bq, d)
     k = k_ref[0]  # (bk, d)
     scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # MXU defaults to bf16 passes
     ) * scale  # (bq, bk)
     if s % bk != 0 or causal:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + kb * bk
@@ -58,6 +59,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     m_ref[...] = m_new
 
