@@ -420,3 +420,22 @@ class astype(Function):
     def backward(ctx, g):
         (dtype,) = ctx.get_saved_tensors()
         return _t(g.data.astype(dtype))
+
+
+@CpuTensor.register_op()
+class dropout(Function):
+    """Inverted dropout (host RNG)."""
+
+    def forward(ctx, a, p: float = 0.5, training: bool = True):
+        if not training or p <= 0.0:
+            ctx.save_for_backward(None)
+            return _t(a.data.copy())
+        mask = (np.random.rand(*a.shape) >= p).astype(a.dtype) / (1.0 - p)
+        ctx.save_for_backward(mask)
+        return _t(a.data * mask)
+
+    def backward(ctx, g):
+        (mask,) = ctx.get_saved_tensors()
+        if mask is None:
+            return g
+        return _t(g.data * mask)

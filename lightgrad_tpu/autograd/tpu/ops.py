@@ -437,3 +437,26 @@ class astype(Function):
     def backward(ctx, g):
         (dtype,) = ctx.get_saved_tensors()
         return _t(g.data.astype(dtype))
+
+
+@TpuTensor.register_op()
+class dropout(Function):
+    """Inverted dropout. RNG comes from lightgrad_tpu.random's key tensor, so
+    compiled steps (lightgrad_tpu.jit) draw fresh masks every call."""
+
+    def forward(ctx, a, p: float = 0.5, training: bool = True):
+        if not training or p <= 0.0:
+            ctx.save_for_backward(None)
+            return _t(a.data)
+        from ... import random as _lgrandom  # lazy: avoids import cycle
+
+        keep = jax.random.bernoulli(_lgrandom.next_key(), 1.0 - p, a.shape)
+        mask = keep.astype(a.dtype) * (1.0 / (1.0 - p))
+        ctx.save_for_backward(mask)
+        return _t(ew(_f_mul, a.data, mask))
+
+    def backward(ctx, g):
+        (mask,) = ctx.get_saved_tensors()
+        if mask is None:
+            return g
+        return _t(ew(_f_mul, g.data, mask))

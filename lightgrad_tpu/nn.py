@@ -12,16 +12,27 @@ import numpy as np
 
 from .autograd import Tensor, AbstractTensor
 
-__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding"]
+__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding", "Dropout"]
 
 
 class Module:
     def __init__(self):
         object.__setattr__(self, "_params", {})
         object.__setattr__(self, "_modules", {})
+        object.__setattr__(self, "training", True)
 
     def forward(self, *args, **kwargs):
         raise NotImplementedError()
+
+    def train(self, mode: bool = True):
+        """Set training mode recursively (affects Dropout etc.)."""
+        object.__setattr__(self, "training", mode)
+        for m in self._modules.values():
+            m.train(mode)
+        return self
+
+    def eval(self):
+        return self.train(False)
 
     def __call__(self, *args, **kwargs):
         return self.forward(*args, **kwargs)
@@ -163,3 +174,14 @@ class Embedding(Module):
 
     def forward(self, ids):
         return self.weight[ids]
+
+
+class Dropout(Module):
+    """Inverted dropout; identity in eval mode (`module.eval()`)."""
+
+    def __init__(self, p: float = 0.5):
+        super().__init__()
+        self.p = p
+
+    def forward(self, x):
+        return x.dropout(p=self.p, training=self.training)

@@ -267,3 +267,42 @@ def test_astype_bf16_roundtrip():
     # value sanity vs f32 at bf16 tolerance
     want = (x.numpy() @ x.numpy().T).sum()
     np.testing.assert_allclose(loss.item(), want, rtol=2e-2)
+
+
+def test_dropout():
+    import lightgrad_tpu.random as lgrandom
+
+    lgrandom.seed(0)
+    for cls in (CpuTensor, TpuTensor):
+        np.random.seed(0)
+        x = cls.from_numpy(np.ones((64, 64), np.float32))
+        drop = nn.Dropout(p=0.25)
+        y = drop(x)
+        kept = y.numpy()
+        # surviving elements are scaled by 1/(1-p); ~75% survive
+        uniq = np.unique(kept)
+        assert len(uniq) <= 2
+        np.testing.assert_allclose(uniq[-1], 1 / 0.75, rtol=1e-5)
+        assert 0.6 < (kept > 0).mean() < 0.9
+        y.sum().backward()
+        np.testing.assert_allclose(x.grad.numpy(), kept, rtol=1e-6)
+        # eval mode: identity
+        drop.eval()
+        np.testing.assert_array_equal(drop(x).numpy(), x.numpy())
+
+
+def test_dropout_fresh_masks_under_jit():
+    import lightgrad_tpu.random as lgrandom
+
+    lgrandom.seed(7)
+    x = TpuTensor.from_numpy(np.ones((8, 8), np.float32), requires_grad=False)
+
+    @light.jit
+    def step():
+        with light.no_grad():
+            return x.dropout(p=0.5)
+
+    outs = [step().numpy() for _ in range(4)]  # record, compile, 2 steady
+    # compiled executions must draw fresh masks (key tensor is mutated state)
+    assert not np.array_equal(outs[2], outs[3])
+    assert all(0.2 < (o > 0).mean() < 0.8 for o in outs)
