@@ -19,6 +19,7 @@ from .autograd import (
 )
 from .utils.profiler import Profiler
 from .jit import jit
+from . import amp, random, checkpoint, parallel
 
 # tensor initializer shortcuts (parity: reference lightgrad/__init__.py)
 empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones

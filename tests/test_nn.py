@@ -306,3 +306,28 @@ def test_dropout_fresh_masks_under_jit():
     # compiled executions must draw fresh masks (key tensor is mutated state)
     assert not np.array_equal(outs[2], outs[3])
     assert all(0.2 < (o > 0).mean() < 0.8 for o in outs)
+
+
+def test_amp_cast_module_trains():
+    import jax.numpy as jnp
+
+    np.random.seed(3)
+    model = TwoLayer()
+    light.amp.cast_module(model, jnp.bfloat16)
+    assert all(p.dtype == jnp.bfloat16 for p in model.parameters())
+    assert all(p.requires_grad for p in model.parameters())
+    optim = light.optim.SGD(model.parameters(), lr=0.1)
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (16, 6)).astype(np.float32)).astype(jnp.bfloat16).detach()
+    x._set_requires_grad(False)
+    y = TpuTensor.from_numpy(np.random.uniform(-1, 1, (16, 3)).astype(np.float32)).astype(jnp.bfloat16).detach()
+    y._set_requires_grad(False)
+    losses = []
+    for _ in range(40):
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0]
+    light.amp.cast_module(model, jnp.float32)
+    assert all(p.dtype == jnp.float32 for p in model.parameters())
