@@ -366,7 +366,10 @@ class conv(Function):
 # ---------------------------------------------------------------------------
 from ...ops.softmax import softmax_fwd as ksoftmax_fwd, softmax_bwd as ksoftmax_bwd
 from ...ops.layernorm import layernorm_fwd as kln_fwd, layernorm_bwd_dx as kln_bwd_dx
-from ...ops.attention import attention_fwd as kattn_fwd, attention_bwd as kattn_bwd
+from ...ops.attention import (
+    attention_fwd_res as kattn_fwd_res,
+    attention_bwd as kattn_bwd,
+)
 
 
 @TpuTensor.register_op(overwrite=True)
@@ -413,12 +416,15 @@ class attention(Function):
     """Fused scaled-dot-product attention over (..., S, D) q/k/v."""
 
     def forward(ctx, q, k, v, scale: float, causal: bool = False):
-        ctx.save_for_backward(q.data, k.data, v.data, scale, causal)
-        return _t(kattn_fwd(q.data, k.data, v.data, scale, causal=causal))
+        out, lse = kattn_fwd_res(q.data, k.data, v.data, scale, causal=causal)
+        ctx.save_for_backward(q.data, k.data, v.data, out, lse, scale, causal)
+        return _t(out)
 
     def backward(ctx, g):
-        qd, kd, vd, scale, causal = ctx.get_saved_tensors()
-        dq, dk, dv = kattn_bwd(g.data, qd, kd, vd, scale, causal=causal)
+        qd, kd, vd, out, lse, scale, causal = ctx.get_saved_tensors()
+        dq, dk, dv = kattn_bwd(
+            g.data, qd, kd, vd, scale, causal=causal, out=out, lse=lse
+        )
         return _t(dq), _t(dk), _t(dv)
 
 

@@ -1,13 +1,15 @@
-"""Fused scaled-dot-product attention: flash-style Pallas forward.
+"""Fused scaled-dot-product attention: flash-style Pallas kernels.
 
 The reference materializes the full (b, h, s, s) score tensor and runs the
 5-op composite softmax over it (reference bert.py:79-85) -- O(s^2) HBM
-traffic.  This kernel streams K/V blocks through VMEM with an online softmax
-(running max/denominator), so scores never touch HBM.
+traffic.  The forward streams K/V blocks through VMEM with an online softmax
+(running max/denominator) and emits the log-sum-exp residual; the backward is
+the standard two-kernel flash scheme (dQ accumulated over K blocks; dK/dV
+accumulated over Q blocks) with probabilities recomputed from the saved LSE,
+so scores never touch HBM in either direction.  Supports causal masking.
 
-Backward currently recomputes scores in one fused XLA program (flash-bwd
-Pallas kernel is a planned refinement); residuals are just (q, k, v, out is
-not needed).
+In 'xla' kernel mode both directions fall back to fused einsum programs (the
+right choice below the measured seq~1024 crossover).
 """
 
 import functools
@@ -18,14 +20,44 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
+from .runtime import INTERPRET, resolve_mode, cdiv
 
-__all__ = ["attention_fwd", "attention_bwd"]
+__all__ = ["attention_fwd", "attention_fwd_res", "attention_bwd"]
 
 _NEG_INF = -1e30
+_PREC = jax.lax.Precision.HIGHEST  # MXU defaults to bf16 passes otherwise
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, nk, bk, bq, s, causal):
+def _dot(a, b, ta=False, tb=False):
+    dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32, precision=_PREC
+    )
+
+
+def _zero_oob_rows(x, off, s):
+    """Zero rows beyond the sequence. Out-of-bounds block rows read garbage
+    (possibly NaN) which must never reach a contraction -- and 0 * NaN is
+    still NaN, so this must select, not multiply."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0) + off
+    return jnp.where(idx < s, x, jnp.zeros_like(x))
+
+
+def _valid_mask(shape, row0, col0, s, causal):
+    """(bq, bk) validity: inside the sequence and (optionally) causal."""
+    row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
+    col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
+    valid = jnp.logical_and(row < s, col < s)
+    if causal:
+        valid = jnp.logical_and(valid, col <= row)
+    return valid
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                *, scale, nk, bk, bq, s, causal):
     kb = pl.program_id(2)
 
     @pl.when(kb == 0)
@@ -34,21 +66,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, d)
-    k = k_ref[0]  # (bk, d)
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,  # MXU defaults to bf16 passes
-    ) * scale  # (bq, bk)
+    scores = _dot(q_ref[0], k_ref[0], tb=True) * scale  # (bq, bk)
     if s % bk != 0 or causal:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + kb * bk
-        valid = col < s
-        if causal:
-            row = (
-                jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-                + pl.program_id(1) * bq
-            )
-            valid = jnp.logical_and(valid, col <= row)
+        valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, s, causal)
         scores = jnp.where(valid, scores, _NEG_INF)
 
     m_prev = m_ref[...]
@@ -56,35 +76,47 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *, scale, n
     p = jnp.exp(scores - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    v_blk = v_ref[0]
+    if s % bk != 0:
+        v_blk = _zero_oob_rows(v_blk, kb * bk, s)
+    acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(v_blk.dtype), v_blk)
     m_ref[...] = m_new
 
     @pl.when(kb == nk - 1)
     def _():
         o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(lse_ref.dtype)
 
 
-def _flash_fwd(q, k, v, scale, causal=False):
-    """q, k, v: (B, S, D) -> (B, S, D)."""
-    b, s, d = q.shape
+def _attn_blocks(s):
     bq = min(256, max(8, (min(s, 256) // 8) * 8))
     bk = min(512, s if s % 128 == 0 else s)
-    bk = min(bk, 2048)
+    return bq, min(bk, 2048)
+
+
+def _flash_fwd(q, k, v, scale, causal):
+    """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1))."""
+    b, s, d = q.shape
+    bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
+    row = lambda h, i, j: (h, i, 0)
+    col = lambda h, i, j: (h, j, 0)
     return pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
+        functools.partial(_fwd_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
         grid=(b, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), lambda h, i, j: (h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), row, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -94,51 +126,168 @@ def _flash_fwd(q, k, v, scale, causal=False):
     )(q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# backward: dQ pass (grid over q blocks, streaming k) and dK/dV pass
+# (grid over k blocks, streaming q).  p recomputed as exp(s - lse).
+# ---------------------------------------------------------------------------
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
+                   acc_ref, *, scale, nk, bk, bq, s, causal):
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k_blk, v_blk = k_ref[0], v_ref[0]
+    if s % bk != 0:
+        k_blk = _zero_oob_rows(k_blk, kb * bk, s)
+        v_blk = _zero_oob_rows(v_blk, kb * bk, s)
+    scores = _dot(q_ref[0], k_blk, tb=True) * scale
+    valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, s, causal)
+    p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
+    dp = _dot(do_ref[0], v_blk, tb=True)
+    ds = p * (dp - dcap_ref[0])
+    acc_ref[...] += _dot(ds.astype(k_blk.dtype), k_blk) * scale
+
+    @pl.when(kb == nk - 1)
+    def _():
+        dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, nq, bk, bq, s, causal):
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q_blk, do_blk = q_ref[0], do_ref[0]
+    if s % bq != 0:
+        q_blk = _zero_oob_rows(q_blk, qb * bq, s)
+        do_blk = _zero_oob_rows(do_blk, qb * bq, s)
+    scores = _dot(q_blk, k_ref[0], tb=True) * scale  # (bq, bk)
+    valid = _valid_mask(scores.shape, qb * bq, pl.program_id(1) * bk, s, causal)
+    p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
+    dv_acc[...] += _dot(p.astype(do_blk.dtype), do_blk, ta=True)
+    dp = _dot(do_blk, v_ref[0], tb=True)
+    ds = jnp.where(valid, p * (dp - dcap_ref[0]), 0.0)
+    dk_acc[...] += _dot(ds.astype(q_blk.dtype), q_blk, ta=True) * scale
+
+    @pl.when(qb == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _flash_bwd(g, q, k, v, out, lse, scale, causal):
+    b, s, d = q.shape
+    bq, bk = _attn_blocks(s)
+    nq, nk = cdiv(s, bq), cdiv(s, bk)
+    # D_i = rowsum(dO * O): one cheap fused elementwise+reduce in XLA
+    dcap = jnp.sum(g * out, axis=-1, keepdims=True).astype(jnp.float32)
+
+    row = lambda h, i, j: (h, i, 0)
+    col = lambda h, i, j: (h, j, 0)
+    row_spec = lambda w: pl.BlockSpec((1, bq, w), row, memory_space=pltpu.VMEM)
+    col_spec = lambda w: pl.BlockSpec((1, bk, w), col, memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
+        grid=(b, nq, nk),
+        in_specs=[row_spec(d), col_spec(d), col_spec(d), row_spec(d),
+                  row_spec(1), row_spec(1)],
+        out_specs=row_spec(d),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=INTERPRET,
+    )(q, k, v, g, lse, dcap)
+
+    # second pass: swap the roles -- k blocks are resident, q streams
+    krow = lambda h, j, i: (h, i, 0)
+    kcol = lambda h, j, i: (h, j, 0)
+    q_spec = lambda w: pl.BlockSpec((1, bq, w), krow, memory_space=pltpu.VMEM)
+    k_spec = lambda w: pl.BlockSpec((1, bk, w), kcol, memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq, bk=bk, bq=bq, s=s, causal=causal),
+        grid=(b, nk, nq),
+        in_specs=[q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1), q_spec(1)],
+        out_specs=[k_spec(d), k_spec(d)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(q, k, v, g, lse, dcap)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# mode dispatch
+# ---------------------------------------------------------------------------
 def _causal_mask(s):
     row = jnp.arange(s)[:, None]
     col = jnp.arange(s)[None, :]
     return jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
 
 
-def _attn_fwd_impl(q, k, v, scale, mode, causal=False):
+def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False):
     shape = q.shape  # (..., S, D)
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
     q3, k3, v3 = (x.reshape(b, s, d) for x in (q, k, v))
     if mode == "xla":
-        scores = jnp.einsum("bqd,bkd->bqk", q3, k3,
-                            precision=jax.lax.Precision.HIGHEST) * scale
+        scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_PREC) * scale
         if causal:
             scores = scores + _causal_mask(s)
-        probs = jax.nn.softmax(scores, axis=-1)
-        return jnp.einsum("bqk,bkd->bqd", probs, v3,
-                          precision=jax.lax.Precision.HIGHEST).reshape(shape)
-    return _flash_fwd(q3, k3, v3, scale, causal=causal).reshape(shape)
+        out = jnp.einsum(
+            "bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), v3, precision=_PREC
+        ).reshape(shape)
+        if not with_res:
+            return out
+        lse = jax.scipy.special.logsumexp(scores, axis=-1, keepdims=True)
+        return out, lse
+    out, lse = _flash_fwd(q3, k3, v3, scale, causal)
+    return (out.reshape(shape), lse) if with_res else out.reshape(shape)
 
 
-def _attn_bwd_impl(g, q, k, v, scale, mode, causal=False):
-    """Recompute-based backward (one fused XLA program)."""
+def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False):
     shape = q.shape
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
     g3, q3, k3, v3 = (x.reshape(b, s, d) for x in (g, q, k, v))
-    prec = jax.lax.Precision.HIGHEST
-    scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=prec) * scale
+    if mode == "pallas" and out is not None and lse is not None:
+        dq, dk, dv = _flash_bwd(g3, q3, k3, v3, out.reshape(b, s, d), lse,
+                                scale, causal)
+        return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+    # recompute path (one fused XLA program)
+    scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_PREC) * scale
     if causal:
         scores = scores + _causal_mask(s)
     p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=prec)
-    dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=prec)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_PREC)
+    dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_PREC)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k3, precision=prec) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q3, precision=prec) * scale
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k3, precision=_PREC) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q3, precision=_PREC) * scale
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
 
 
 @functools.lru_cache(maxsize=None)
 def _build(which, scale, mode, causal):
-    impl = _attn_fwd_impl if which == "fwd" else _attn_bwd_impl
-    return jax.jit(functools.partial(impl, scale=scale, mode=mode, causal=causal))
+    if which == "bwd":
+        impl = functools.partial(_attn_bwd_impl, scale=scale, mode=mode, causal=causal)
+    else:
+        impl = functools.partial(
+            _attn_fwd_impl, scale=scale, mode=mode, causal=causal,
+            with_res=(which == "fwd_res"),
+        )
+    return jax.jit(impl)
 
 
 def attention_fwd(q, k, v, scale: float, causal: bool = False):
@@ -146,6 +295,13 @@ def attention_fwd(q, k, v, scale: float, causal: bool = False):
     return _build("fwd", float(scale), mode, causal)(q, k, v)
 
 
-def attention_bwd(g, q, k, v, scale: float, causal: bool = False):
+def attention_fwd_res(q, k, v, scale: float, causal: bool = False):
+    """Forward returning (out, lse) -- residuals for the flash backward."""
     mode = resolve_mode("attention", seq=q.shape[-2])
-    return _build("bwd", float(scale), mode, causal)(g, q, k, v)
+    return _build("fwd_res", float(scale), mode, causal)(q, k, v)
+
+
+def attention_bwd(g, q, k, v, scale: float, causal: bool = False,
+                  out=None, lse=None):
+    mode = resolve_mode("attention", seq=q.shape[-2])
+    return _build("bwd", float(scale), mode, causal)(g, q, k, v, out, lse)

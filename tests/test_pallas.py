@@ -159,7 +159,7 @@ def test_tape_gradcheck_under_pallas():
 # ---------------------------------------------------------------------------
 from lightgrad_tpu.ops.softmax import softmax_fwd, softmax_bwd
 from lightgrad_tpu.ops.layernorm import layernorm_fwd, layernorm_bwd_dx
-from lightgrad_tpu.ops.attention import attention_fwd, attention_bwd
+from lightgrad_tpu.ops.attention import attention_fwd, attention_fwd_res, attention_bwd
 
 
 @pytest.mark.parametrize("shape", [(8, 128), (3, 5, 33), (2, 1, 2049)])
@@ -226,3 +226,32 @@ def test_fused_tape_ops_gradcheck():
     assert_gradcheck(lambda t: t.attention(k, v, scale=0.5), q, atol=2e-3, rtol=2e-3)
     assert_gradcheck(lambda t: q.attention(t, v, scale=0.5), k, atol=2e-3, rtol=2e-3)
     assert_gradcheck(lambda t: q.attention(k, t, scale=0.5), v, atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("b,s,d", [(2, 64, 32), (1, 300, 64)])
+def test_flash_attention_bwd(b, s, d, causal):
+    """Flash dQ/dK/dV kernels vs the fused recompute backward."""
+    q, k, v, g = (rnd(b, s, d) for _ in range(4))
+    scale = 1.0 / np.sqrt(d)
+    out, lse = attention_fwd_res(q, k, v, scale, causal=causal)
+    got = attention_bwd(g, q, k, v, scale, causal=causal, out=out, lse=lse)
+    runtime.set_kernel_mode("xla")
+    want = attention_bwd(g, q, k, v, scale, causal=causal)
+    runtime.set_kernel_mode("pallas")
+    for name, a, b_ in zip("dq dk dv".split(), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+def test_flash_causal_fwd_matches_xla():
+    q, k, v = rnd(2, 40, 32), rnd(2, 40, 32), rnd(2, 40, 32)
+    out, lse = attention_fwd_res(q, k, v, 0.2, causal=True)
+    runtime.set_kernel_mode("xla")
+    want, wlse = attention_fwd_res(q, k, v, 0.2, causal=True)
+    runtime.set_kernel_mode("pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(lse).squeeze(-1), np.asarray(wlse).squeeze(-1), rtol=1e-5, atol=1e-5
+    )
