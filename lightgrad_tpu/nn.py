@@ -12,7 +12,7 @@ import numpy as np
 
 from .autograd import Tensor, AbstractTensor
 
-__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding", "Dropout"]
+__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
 
 
 class Module:
@@ -185,3 +185,32 @@ class Dropout(Module):
 
     def forward(self, x):
         return x.dropout(p=self.p, training=self.training)
+
+
+class MoE(Module):
+    """Mixture-of-experts FFN (soft/dense dispatch).
+
+    Every expert processes every token and the router's softmax weights the
+    mixture (Soft-MoE style) -- simple, differentiable, and the stacked
+    expert weights `(E, d, h)` shard cleanly over an `ep` mesh axis
+    (lightgrad_tpu.parallel.MOE_EP_RULES), giving expert-parallel compute and
+    memory.  Sparse top-k dispatch with capacity is on the roadmap.
+    """
+
+    def __init__(self, dim: int, hidden: int, n_experts: int):
+        super().__init__()
+        self.n_experts = n_experts
+        self.router = Linear(dim, n_experts, bias=False)
+        self.w1 = Tensor.xavier((n_experts, dim, hidden))
+        self.w2 = Tensor.xavier((n_experts, hidden, dim))
+
+    def forward(self, x):
+        lead, dim = x.shape[:-1], x.shape[-1]
+        t = x.reshape(-1, dim)                       # (T, d)
+        n_tok = t.shape[0]
+        gates = self.router(t).softmax(axis=-1)      # (T, E)
+        tb = t.reshape(1, n_tok, dim)                # broadcast over experts
+        h = (tb @ self.w1).gelu() @ self.w2          # (E, T, d)
+        w = gates.T(1, 0).reshape(self.n_experts, n_tok, 1)
+        y = (h * w).sum(axis=0)                      # (T, d)
+        return y.reshape(*lead, dim)

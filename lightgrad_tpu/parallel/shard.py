@@ -18,7 +18,7 @@ import re
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES"]
+__all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES", "MOE_EP_RULES"]
 
 
 # (name regex, PartitionSpec) -- first match wins; unmatched -> replicated
@@ -55,3 +55,10 @@ def shard_module(module, mesh, rules=BERT_TP_RULES, verbose: bool = False):
             print(f"  {name}: {spec}")
         shard_tensor(p, mesh, spec)
     return module
+
+
+# expert-parallel rules for nn.MoE: stacked expert weights shard over 'ep'
+MOE_EP_RULES = [
+    (r"(^|\.)w1$", P("ep", None, None)),
+    (r"(^|\.)w2$", P("ep", None, None)),
+]

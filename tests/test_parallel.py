@@ -94,3 +94,44 @@ def test_pipeline_parallel_matches_sequential():
     gs = jax.grad(seq_loss)((w, b))
     np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gs[0]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gs[1]), rtol=2e-4, atol=2e-4)
+
+
+@needs_mesh
+def test_moe_expert_parallel():
+    """MoE layer trains with expert weights sharded over an ep axis."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.parallel import make_mesh, shard_module, MOE_EP_RULES
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(0)
+    moe = nn.MoE(dim=16, hidden=32, n_experts=4)
+    mesh = make_mesh(dp=1, tp=1, ep=4)
+    shard_module(moe, mesh, MOE_EP_RULES)
+    w1 = dict(moe.named_parameters())["w1"]
+    assert {s.data.shape for s in w1.data.addressable_shards} == {(1, 16, 32)}
+
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (8, 16)).astype(np.float32), requires_grad=False)
+    y = TpuTensor.from_numpy(np.random.uniform(-1, 1, (8, 16)).astype(np.float32), requires_grad=False)
+    optim = light.optim.Adam(moe.parameters(), lr=5e-3)
+    losses = []
+    for _ in range(25):
+        loss = light.loss.mse(moe(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0], losses[::8]
+
+
+def test_moe_single_chip():
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    np.random.seed(1)
+    moe = nn.MoE(dim=6, hidden=8, n_experts=3)
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (4, 6)).astype(np.float32))
+    assert moe(x).shape == (4, 6)
+    assert_gradcheck(lambda t: moe(t), x, atol=2e-3, rtol=2e-3)
