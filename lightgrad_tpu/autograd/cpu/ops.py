@@ -439,3 +439,22 @@ class dropout(Function):
         if mask is None:
             return g
         return _t(g.data * mask)
+
+
+def _register_compare(name, np_fn):
+    class Op(Function):
+        """Elementwise comparison -> float mask (no gradient)."""
+
+        def forward(ctx, a, b):
+            return _t(np_fn(a.data, _raw(b)).astype(a.dtype))
+
+        def backward(ctx, g):
+            return None  # no gradient through comparisons (any arity)
+
+    Op.__name__ = name
+    CpuTensor.register_op(name, Op, overwrite=True)
+
+
+_register_compare("eq", np.equal)
+_register_compare("ge", np.greater_equal)
+_register_compare("gt", np.greater)

@@ -466,3 +466,28 @@ class dropout(Function):
         if mask is None:
             return g
         return _t(ew(_f_mul, g.data, mask))
+
+
+def _f_eq(a, b): return (a == b).astype(a.dtype)
+def _f_ge(a, b): return (a >= b).astype(a.dtype)
+def _f_gt(a, b): return (a > b).astype(a.dtype)
+
+
+def _register_compare(name, fwd):
+    class Op(Function):
+        """Elementwise comparison -> float mask (no gradient)."""
+
+        def forward(ctx, a, b):
+            braw = b.data if isinstance(b, AbstractTensor) else _scalar(b, a.data)
+            return _t(ew(fwd, a.data, braw))
+
+        def backward(ctx, g):
+            return None  # no gradient through comparisons (any arity)
+
+    Op.__name__ = name
+    TpuTensor.register_op(name, Op, overwrite=True)
+
+
+_register_compare("eq", _f_eq)
+_register_compare("ge", _f_ge)
+_register_compare("gt", _f_gt)

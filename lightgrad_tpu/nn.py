@@ -188,29 +188,74 @@ class Dropout(Module):
 
 
 class MoE(Module):
-    """Mixture-of-experts FFN (soft/dense dispatch).
+    """Mixture-of-experts FFN.
 
-    Every expert processes every token and the router's softmax weights the
-    mixture (Soft-MoE style) -- simple, differentiable, and the stacked
-    expert weights `(E, d, h)` shard cleanly over an `ep` mesh axis
+    Stacked expert weights `(E, d, h)` shard cleanly over an `ep` mesh axis
     (lightgrad_tpu.parallel.MOE_EP_RULES), giving expert-parallel compute and
-    memory.  Sparse top-k dispatch with capacity is on the roadmap.
+    memory.  Two dispatch modes:
+
+    * ``dispatch="dense"`` (Soft-MoE style): every expert processes every
+      token, the router softmax weights the mixture.
+    * ``dispatch="top1"`` (GShard style): each token routes to its argmax
+      expert, subject to per-expert capacity ``ceil(T/E * capacity_factor)``;
+      over-capacity tokens are dropped (their output is zero -- the usual
+      residual connection carries them).  Built entirely from one-hot
+      matmuls, so the tape differentiates the selected gate and expert path
+      and the MXU does the dispatch.
     """
 
-    def __init__(self, dim: int, hidden: int, n_experts: int):
+    def __init__(self, dim: int, hidden: int, n_experts: int,
+                 dispatch: str = "dense", capacity_factor: float = 1.25):
         super().__init__()
+        assert dispatch in ("dense", "top1"), dispatch
         self.n_experts = n_experts
+        self.dispatch = dispatch
+        self.capacity_factor = capacity_factor
         self.router = Linear(dim, n_experts, bias=False)
         self.w1 = Tensor.xavier((n_experts, dim, hidden))
         self.w2 = Tensor.xavier((n_experts, hidden, dim))
+
+    def _dense(self, t, n_tok, dim):
+        gates = self.router(t).softmax(axis=-1)      # (T, E)
+        tb = t.reshape(1, n_tok, dim)                # broadcast over experts
+        h = (tb @ self.w1).gelu() @ self.w2          # (E, T, d)
+        w = gates.T(1, 0).reshape(self.n_experts, n_tok, 1)
+        return (h * w).sum(axis=0)                   # (T, d)
+
+    def _top1(self, t, n_tok, dim):
+        import math
+
+        n_exp = self.n_experts
+        cap = max(1, math.ceil(n_tok / n_exp * self.capacity_factor))
+        probs = self.router(t).softmax(axis=-1)      # (T, E)
+        top = probs.max(axis=-1, keepdims=True)
+        onehot = probs.eq(top)                       # (T, E) argmax mask (no grad)
+        gate = (probs * onehot).sum(axis=-1, keepdims=True)  # grads flow here
+        # position of each token within its expert: exclusive cumsum via a
+        # strictly-lower-triangular ones matmul (MXU-friendly)
+        tril = type(t).from_numpy(
+            np.tril(np.ones((n_tok, n_tok), np.float32), -1), requires_grad=False
+        )
+        pos = (tril @ onehot) * onehot               # (T, E), zero off-route
+        within_cap = (pos * -1.0 + float(cap)).gt(0.5)
+        keep = onehot * within_cap                   # (T, E)
+        pos_tok = (pos * onehot).sum(axis=-1, keepdims=True)  # (T, 1)
+        slots = type(t).from_numpy(
+            np.arange(cap, dtype=np.float32), requires_grad=False
+        )
+        poh = pos_tok.eq(slots.reshape(1, cap))      # (T, C) capacity one-hot
+        disp = (keep.reshape(n_tok, n_exp, 1) * poh.reshape(n_tok, 1, cap))
+        disp = disp.reshape(n_tok, n_exp * cap)      # (T, E*C)
+        xd = disp.T(1, 0) @ t                        # (E*C, d)
+        h = (xd.reshape(n_exp, cap, dim) @ self.w1).gelu() @ self.w2
+        return (disp * gate) @ h.reshape(n_exp * cap, dim)
 
     def forward(self, x):
         lead, dim = x.shape[:-1], x.shape[-1]
         t = x.reshape(-1, dim)                       # (T, d)
         n_tok = t.shape[0]
-        gates = self.router(t).softmax(axis=-1)      # (T, E)
-        tb = t.reshape(1, n_tok, dim)                # broadcast over experts
-        h = (tb @ self.w1).gelu() @ self.w2          # (E, T, d)
-        w = gates.T(1, 0).reshape(self.n_experts, n_tok, 1)
-        y = (h * w).sum(axis=0)                      # (T, d)
+        if self.dispatch == "top1":
+            y = self._top1(t, n_tok, dim)
+        else:
+            y = self._dense(t, n_tok, dim)
         return y.reshape(*lead, dim)

@@ -18,7 +18,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 __all__ = ["pipeline_apply"]
 
@@ -63,5 +63,5 @@ def pipeline_apply(stage_fn, stacked_params, x_micro, mesh, axis: str = "pp"):
         mesh=mesh,
         in_specs=(pspec, P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(stacked_params, x_micro)

@@ -135,3 +135,49 @@ def test_moe_single_chip():
     x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (4, 6)).astype(np.float32))
     assert moe(x).shape == (4, 6)
     assert_gradcheck(lambda t: moe(t), x, atol=2e-3, rtol=2e-3)
+
+
+def test_moe_top1_dispatch():
+    """Sparse top-1 dispatch: routed experts only, capacity respected."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(2)
+    moe = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="top1", capacity_factor=2.0)
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (12, 8)).astype(np.float32), requires_grad=False)
+    y = moe(x)
+    assert y.shape == (12, 8)
+    # reference: manual per-token routing with the same weights
+    probs_np = None
+    t = x.numpy()
+    wr = dict(moe.named_parameters())["router.weight"].numpy()
+    logits = t @ wr.T
+    e = np.exp(logits - logits.max(-1, keepdims=True)); probs_np = e / e.sum(-1, keepdims=True)
+    top = probs_np.argmax(-1)
+    w1 = dict(moe.named_parameters())["w1"].numpy()
+    w2 = dict(moe.named_parameters())["w2"].numpy()
+
+    def gelu(v):
+        return 0.5 * v * (1 + np.tanh(0.7978845608028654 * (v + 0.044715 * v**3)))
+
+    want = np.zeros_like(t)
+    counts = {i: 0 for i in range(4)}
+    cap = int(np.ceil(12 / 4 * 2.0))
+    for i, eidx in enumerate(top):
+        if counts[eidx] >= cap:
+            continue
+        counts[eidx] += 1
+        want[i] = probs_np[i, eidx] * (gelu(t[i] @ w1[eidx]) @ w2[eidx])
+    np.testing.assert_allclose(y.numpy(), want, rtol=1e-4, atol=1e-5)
+
+    # trains end to end
+    optim = light.optim.Adam(moe.parameters(), lr=5e-3)
+    tgt = TpuTensor.from_numpy(np.random.uniform(-1, 1, (12, 8)).astype(np.float32), requires_grad=False)
+    losses = []
+    xg = TpuTensor.from_numpy(t, requires_grad=False)
+    for _ in range(30):
+        loss = light.loss.mse(moe(xg), tgt)
+        optim.zero_grad(); loss.backward(); optim.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0]
