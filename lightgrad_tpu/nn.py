@@ -231,6 +231,16 @@ class MoE(Module):
         top = probs.max(axis=-1, keepdims=True)
         onehot = probs.eq(top)                       # (T, E) argmax mask (no grad)
         gate = (probs * onehot).sum(axis=-1, keepdims=True)  # grads flow here
+        # Switch-Transformer load-balancing loss: E * sum_e f_e * P_e, where
+        # f_e = fraction of tokens routed to e (no grad) and P_e = mean router
+        # probability (grads push the router toward uniform load)
+        frac = onehot.mean(axis=0)                   # (E,)
+        mean_prob = probs.mean(axis=0)               # (E,)
+        # plain attribute, NOT a registered parameter (it is a per-forward
+        # activation, not trainable state)
+        object.__setattr__(
+            self, "aux_loss", (frac * mean_prob).sum() * float(n_exp)
+        )
         # position of each token within its expert: exclusive cumsum via a
         # strictly-lower-triangular ones matmul (MXU-friendly)
         tril = type(t).from_numpy(

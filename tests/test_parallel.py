@@ -181,3 +181,38 @@ def test_moe_top1_dispatch():
         optim.zero_grad(); loss.backward(); optim.step()
         losses.append(loss.item())
     assert losses[-1] < losses[0]
+
+
+def test_moe_load_balancing_loss():
+    """Training with the aux loss spreads routing across experts."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(4)
+    moe = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="top1", capacity_factor=4.0)
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (64, 8)).astype(np.float32), requires_grad=False)
+    y = TpuTensor.from_numpy(np.random.uniform(-1, 1, (64, 8)).astype(np.float32), requires_grad=False)
+    optim = light.optim.Adam(moe.parameters(), lr=5e-3)
+    for _ in range(40):
+        main = light.loss.mse(moe(x), y)
+        loss = main + moe.aux_loss * 0.05
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+    # perfectly balanced aux loss is 1.0; assert routing is not collapsed
+    final_aux = moe.aux_loss.item()
+    assert final_aux < 2.0, final_aux
+    assert np.isfinite(final_aux)
+
+
+def test_moe_aux_loss_not_a_parameter():
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    moe = nn.MoE(dim=4, hidden=8, n_experts=2, dispatch="top1")
+    x = TpuTensor.from_numpy(np.ones((4, 4), np.float32), requires_grad=False)
+    n_before = len(list(moe.parameters()))
+    moe(x)
+    assert len(list(moe.parameters())) == n_before
+    assert "aux_loss" not in moe.state_dict()
