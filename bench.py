@@ -184,6 +184,37 @@ def bench_bert_layer(iters=20, batch=8, seq=128):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_attention_long(iters=10, bh=96, s=2048, d=64):
+    """Fused flash attention fwd+bwd at long sequence (auto mode routes to
+    the Pallas kernels here; the materialized path OOMs at s=4096)."""
+    np.random.seed(0)
+    q = light.uniform(-1, 1, (bh, s, d))
+    k = light.uniform(-1, 1, (bh, s, d))
+    v = light.uniform(-1, 1, (bh, s, d))
+    scale = 1.0 / np.sqrt(d)
+
+    def fwd_bwd():
+        y = q.attention(k, v, scale=scale)
+        loss = y * y
+        q.zero_grad()
+        k.zero_grad()
+        v.zero_grad()
+        loss.backward(allow_fill=True)
+        return loss
+
+    fn = light.jit(fwd_bwd)
+    for _ in range(3):
+        y = fn()
+    y.numpy()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = fn()
+    y.numpy()
+    dt = (time.perf_counter() - t0) / iters
+    flops = 4 * bh * s * s * d * 3.5  # fwd + ~2.5x bwd
+    return dt, flops / dt / 1e9
+
+
 def main():
     import jax
 
@@ -215,6 +246,11 @@ def main():
     dt = bench_bert_layer()
     details["bert_layer_fwdbwd_s"] = round(dt, 5)
     err(f"BERT-base layer fwd+bwd (8x128): {dt * 1e3:.2f}ms")
+
+    dt, gf = bench_attention_long()
+    details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
+    details["flash_attention_s2048_gflops"] = round(gf, 1)
+    err(f"flash attention fwd+bwd (96x2048x64): {dt * 1e3:.2f}ms = {gf:.0f} GFLOP/s")
 
     # baseline: reference CPU measured on this host
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -147,8 +147,15 @@ class _CompiledStep:
         dev_ctx = (
             jax.default_device(rec.cpu) if rec.cpu is not None else contextlib.nullcontext()
         )
-        with _TraceScope(rec), dev_ctx:
-            out = self.fn(*args)
+        from .ops import runtime as _runtime
+
+        try:
+            if rec.cpu is not None:
+                _runtime._staging = True  # pallas can't run on the host backend
+            with _TraceScope(rec), dev_ctx:
+                out = self.fn(*args)
+        finally:
+            _runtime._staging = False
         # recording ran on the host backend; move results back to the device
         rec.restore_devices()
         if rec.cpu is not None:

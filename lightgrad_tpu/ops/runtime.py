@@ -63,11 +63,19 @@ def set_kernel_mode(mode: str) -> str:
     return prev
 
 
+# set by lightgrad_tpu.jit while a recording step runs CPU-staged: compiled
+# pallas kernels cannot execute on the host backend, so recording math takes
+# the XLA path (the phantom-compiled program still uses the resolved kernels)
+_staging = False
+
+
 def resolve_mode(op: str, **hints) -> str:
     """Resolve 'auto' to a concrete implementation for one op call.
 
     The policy encodes round-1 v5e measurements (see module docstring).
     """
+    if _staging:
+        return "xla"
     mode = _mode
     if mode != "auto":
         return mode
