@@ -7,6 +7,7 @@ the exported surface.
 """
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,7 +17,13 @@ __all__ = ["available", "u8_to_f32", "shuffle_perm", "gather_rows", "one_hot"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libltgnative.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lib = None
+
+
+def _src_hash() -> str:
+    with open(os.path.join(_DIR, "dataloader.cc"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _load():
@@ -24,14 +31,21 @@ def _load():
     if _lib is not None or os.environ.get("LIGHTGRAD_NATIVE") == "0":
         return _lib
     try:
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH)
-            < os.path.getmtime(os.path.join(_DIR, "dataloader.cc"))
-        ):
+        # Rebuild unless a sidecar hash proves the .so was built from the
+        # current source on this machine (mtimes are unreliable after a fresh
+        # clone, and a committed binary must never be trusted/loaded as-is).
+        want = _src_hash()
+        have = None
+        if os.path.exists(_LIB_PATH) and os.path.exists(_HASH_PATH):
+            with open(_HASH_PATH) as f:
+                have = f.read().strip()
+        if have != want:
             subprocess.run(
-                ["make", "-s"], cwd=_DIR, check=True,
+                ["make", "-s", "-B"], cwd=_DIR, check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
+            with open(_HASH_PATH, "w") as f:
+                f.write(want)
         lib = ctypes.CDLL(_LIB_PATH)
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)
