@@ -340,6 +340,30 @@ class sum(Function):
         return _t(np.broadcast_to(go, shape).copy())
 
 
+@CpuTensor.register_op()
+class nan_to_num(Function):
+    """Replace nan/±inf (AMP grad sanitization; gradient passes through)."""
+
+    def forward(ctx, a, nan: float = 0.0, posinf: float = 0.0, neginf: float = 0.0):
+        return _t(np.nan_to_num(a.data, nan=nan, posinf=posinf, neginf=neginf))
+
+    def backward(ctx, g):
+        return _t(g.data)
+
+
+@CpuTensor.register_op()
+class cumsum(Function):
+    """Inclusive cumulative sum along ``axis`` (reverse-cumsum backward)."""
+
+    def forward(ctx, a, axis: int = -1):
+        ctx.save_for_backward(axis)
+        return _t(np.cumsum(a.data, axis=axis))
+
+    def backward(ctx, g):
+        (axis,) = ctx.get_saved_tensors()
+        return _t(np.flip(np.cumsum(np.flip(g.data, axis), axis=axis), axis))
+
+
 @CpuTensor.register_op("max")
 class max_(Function):
     def forward(ctx, a, axis=None, keepdims: bool = False):

@@ -83,7 +83,11 @@ def sigmoid(t):
 
 @composite
 def tanh(t):
-    return t.sigmoid() * 2.0 - 1.0
+    # tanh(x) = 2*sigmoid(2x) - 1.  (The reference's composite,
+    # lightgrad/autograd/ops.py:58-60, drops the inner 2x -- computing
+    # tanh(x/2) -- a bug masked there and here by backend overrides; the
+    # composite itself must be correct for backends that inherit it.)
+    return (t * 2.0).sigmoid() * 2.0 - 1.0
 
 
 @composite

@@ -173,7 +173,12 @@ def _inplace(name, fwd):
     class Op(Function):
         def forward(ctx, a, b):
             braw = b.data if isinstance(b, AbstractTensor) else _scalar(b, a.data)
-            return a._set_data(_note(ew(fwd, a.data, braw)))
+            res = ew(fwd, a.data, braw)
+            if res.dtype != a.data.dtype:
+                # in-place ops must never change the target's dtype (e.g.
+                # bf16 param += f32 grad would silently promote the param)
+                res = res.astype(a.data.dtype)
+            return a._set_data(_note(res))
 
     Op.__name__ = name
     TpuTensor.register_op(name, Op, overwrite=True)
@@ -346,6 +351,34 @@ _minmax("max")
 _minmax("min")
 
 
+@TpuTensor.register_op()
+class nan_to_num(Function):
+    """Replace nan/±inf (AMP grad sanitization; gradient passes through)."""
+
+    def forward(ctx, a, nan: float = 0.0, posinf: float = 0.0, neginf: float = 0.0):
+        return _t(jnp.nan_to_num(a.data, nan=nan, posinf=posinf, neginf=neginf))
+
+    def backward(ctx, g):
+        return _t(g.data)
+
+
+@TpuTensor.register_op()
+class cumsum(Function):
+    """Inclusive cumulative sum along ``axis`` (reverse-cumsum backward).
+
+    No reference counterpart; added so MoE routing can compute within-expert
+    positions on device instead of a host-built (T,T) triangular matmul.
+    """
+
+    def forward(ctx, a, axis: int = -1):
+        ctx.save_for_backward(axis)
+        return _t(jnp.cumsum(a.data, axis=axis))
+
+    def backward(ctx, g):
+        (axis,) = ctx.get_saved_tensors()
+        return _t(jnp.flip(jnp.cumsum(jnp.flip(g.data, axis), axis=axis), axis))
+
+
 # ---------------------------------------------------------------------------
 # convolution
 # ---------------------------------------------------------------------------
@@ -425,6 +458,34 @@ class attention(Function):
         dq, dk, dv = kattn_bwd(
             g.data, qd, kd, vd, scale, causal=causal, out=out, lse=lse
         )
+        return _t(dq), _t(dk), _t(dv)
+
+
+@TpuTensor.register_op()
+class ring_attention(Function):
+    """Sequence-parallel exact attention: K/V rotate around the mesh's ``sp``
+    ring (ppermute) instead of GSPMD all-gathering the full sequence.  The
+    backward reuses the jax VJP of the shard_map'd ring (ppermute's transpose
+    is the reverse rotation), so gradients are ring-communication-optimal
+    too.  See parallel/ring_attention.py."""
+
+    def forward(ctx, q, k, v, scale: float = 1.0, mesh=None, axis: str = "sp",
+                causal: bool = False, batch_axis: str = None):
+        from ...parallel.ring_attention import ring_attention_sharded
+
+        assert mesh is not None, "ring_attention needs a mesh"
+        out, vjp = jax.vjp(
+            lambda a, b, c: ring_attention_sharded(
+                a, b, c, scale, mesh, axis=axis, causal=causal,
+                batch_axis=batch_axis),
+            q.data, k.data, v.data,
+        )
+        ctx.save_for_backward(vjp)
+        return _t(out)
+
+    def backward(ctx, g):
+        (vjp,) = ctx.get_saved_tensors()
+        dq, dk, dv = vjp(g.data)
         return _t(dq), _t(dk), _t(dv)
 
 

@@ -66,6 +66,13 @@ def save_checkpoint(path: str, model: Module, optim: Optimizer = None,
         arrays[_META_PREFIX + "step"] = np.asarray(step)
     for k, v in extra.items():
         arrays[_META_PREFIX + k] = np.asarray(v)
+    # npz cannot serialize ml_dtypes (bfloat16 silently round-trips as raw
+    # void bytes); widen to f32 -- exact for bf16 -- and rely on
+    # load_parameters casting back to each destination parameter's dtype.
+    arrays = {
+        k: v.astype(np.float32) if v.dtype.kind == "V" else v
+        for k, v in arrays.items()
+    }
     buf = io.BytesIO()
     np.savez_compressed(buf, **arrays)
     tmp = path + ".tmp"

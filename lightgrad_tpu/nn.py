@@ -91,8 +91,13 @@ class Module:
             # swap the buffer IN PLACE: optimizers (and any other holder of
             # this tensor object) keep observing the loaded values -- the
             # reference replaced the object, silently orphaning optimizer
-            # references on checkpoint resume
-            p._set_data(new_p.data)
+            # references on checkpoint resume.  Preserve the DESTINATION
+            # dtype: resuming into a bf16-cast model must not silently
+            # upcast parameters to f32 (from_numpy's float default).
+            new_data = new_p.data
+            if new_data.dtype != p.data.dtype:
+                new_data = new_data.astype(p.data.dtype)
+            p._set_data(new_data)
         for key, m in self._modules.items():
             m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
 
@@ -196,21 +201,28 @@ class MoE(Module):
 
     * ``dispatch="dense"`` (Soft-MoE style): every expert processes every
       token, the router softmax weights the mixture.
-    * ``dispatch="top1"`` (GShard style): each token routes to its argmax
-      expert, subject to per-expert capacity ``ceil(T/E * capacity_factor)``;
-      over-capacity tokens are dropped (their output is zero -- the usual
-      residual connection carries them).  Built entirely from one-hot
-      matmuls, so the tape differentiates the selected gate and expert path
-      and the MXU does the dispatch.
+    * ``dispatch="top1"`` / ``dispatch="topk"`` (Switch / GShard style): each
+      token routes to its top-1 (or top-``k``) experts, subject to per-expert
+      capacity ``ceil(k*T/E * capacity_factor)``; over-capacity routings are
+      dropped (their output is zero -- the usual residual connection carries
+      them).  Built entirely from one-hot matmuls and a device ``cumsum``
+      (O(T) memory -- no host-built (T,T) triangular matrix), so the tape
+      differentiates the selected gates and expert paths and the MXU does
+      the dispatch.  Argmax ties break deterministically to the lowest
+      expert index.
     """
 
     def __init__(self, dim: int, hidden: int, n_experts: int,
-                 dispatch: str = "dense", capacity_factor: float = 1.25):
+                 dispatch: str = "dense", capacity_factor: float = 1.25,
+                 k: int = 2, normalize_gates: bool = True):
         super().__init__()
-        assert dispatch in ("dense", "top1"), dispatch
+        assert dispatch in ("dense", "top1", "topk"), dispatch
         self.n_experts = n_experts
         self.dispatch = dispatch
         self.capacity_factor = capacity_factor
+        self.k = 1 if dispatch == "top1" else k
+        assert 1 <= self.k <= n_experts, (self.k, n_experts)
+        self.normalize_gates = normalize_gates
         self.router = Linear(dim, n_experts, bias=False)
         self.w1 = Tensor.xavier((n_experts, dim, hidden))
         self.w2 = Tensor.xavier((n_experts, hidden, dim))
@@ -222,50 +234,88 @@ class MoE(Module):
         w = gates.T(1, 0).reshape(self.n_experts, n_tok, 1)
         return (h * w).sum(axis=0)                   # (T, d)
 
-    def _top1(self, t, n_tok, dim):
+    @staticmethod
+    def _argmax_onehot(scores):
+        """First-match argmax one-hot along the last axis (no grad).
+
+        ``eq(max)`` alone double-dispatches on exact ties (plausible at init
+        or in bf16); masking all but the lowest tied index makes routing
+        deterministic and keeps gates/capacity single-counted.
+        """
+        is_max = scores.eq(scores.max(axis=-1, keepdims=True))   # (T, E)
+        earlier = is_max.cumsum(axis=-1) - is_max                # exclusive
+        return is_max * (earlier * -1.0 + 1.0).gt(0.5)           # earlier == 0
+
+    def _topk(self, t, n_tok, dim):
         import math
 
-        n_exp = self.n_experts
-        cap = max(1, math.ceil(n_tok / n_exp * self.capacity_factor))
+        n_exp, k = self.n_experts, self.k
+        cap = max(1, math.ceil(k * n_tok / n_exp * self.capacity_factor))
         probs = self.router(t).softmax(axis=-1)      # (T, E)
-        top = probs.max(axis=-1, keepdims=True)
-        onehot = probs.eq(top)                       # (T, E) argmax mask (no grad)
-        gate = (probs * onehot).sum(axis=-1, keepdims=True)  # grads flow here
-        # Switch-Transformer load-balancing loss: E * sum_e f_e * P_e, where
-        # f_e = fraction of tokens routed to e (no grad) and P_e = mean router
-        # probability (grads push the router toward uniform load)
-        frac = onehot.mean(axis=0)                   # (E,)
+
+        # --- route: k argmax passes with deterministic tie-break ----------
+        onehots, gates = [], []
+        remaining = probs
+        for _ in range(k):
+            oh = self._argmax_onehot(remaining)
+            onehots.append(oh)
+            gates.append((probs * oh).sum(axis=-1, keepdims=True))
+            if len(onehots) < k:
+                remaining = remaining * (oh * -1.0 + 1.0)
+        if self.normalize_gates and k > 1:
+            denom = gates[0]
+            for g in gates[1:]:
+                denom = denom + g
+            gates = [g / (denom + 1e-9) for g in gates]
+
+        # Switch-Transformer load-balancing loss on the FIRST choice:
+        # E * sum_e f_e * P_e, f_e = fraction of tokens whose top-1 is e
+        # (no grad), P_e = mean router probability (grads flow).
+        frac = onehots[0].mean(axis=0)               # (E,)
         mean_prob = probs.mean(axis=0)               # (E,)
         # plain attribute, NOT a registered parameter (it is a per-forward
         # activation, not trainable state)
         object.__setattr__(
             self, "aux_loss", (frac * mean_prob).sum() * float(n_exp)
         )
-        # position of each token within its expert: exclusive cumsum via a
-        # strictly-lower-triangular ones matmul (MXU-friendly)
-        tril = type(t).from_numpy(
-            np.tril(np.ones((n_tok, n_tok), np.float32), -1), requires_grad=False
-        )
-        pos = (tril @ onehot) * onehot               # (T, E), zero off-route
-        within_cap = (pos * -1.0 + float(cap)).gt(0.5)
-        keep = onehot * within_cap                   # (T, E)
-        pos_tok = (pos * onehot).sum(axis=-1, keepdims=True)  # (T, 1)
+
+        # --- capacity: slot positions via device cumsum (O(T) memory) -----
+        # Choice-major priority: all first choices claim slots before any
+        # second choice; within a choice, token order.  ``filled`` carries
+        # the per-expert count of already-kept slots between choices, so
+        # slot indices are contiguous and collision-free.
         slots = type(t).from_numpy(
             np.arange(cap, dtype=np.float32), requires_grad=False
-        )
-        poh = pos_tok.eq(slots.reshape(1, cap))      # (T, C) capacity one-hot
-        disp = (keep.reshape(n_tok, n_exp, 1) * poh.reshape(n_tok, 1, cap))
-        disp = disp.reshape(n_tok, n_exp * cap)      # (T, E*C)
+        ).reshape(1, cap)
+        disp = None                                  # (T, E*C) 0/1
+        comb = None                                  # (T, E*C) gate-weighted
+        filled = None                                # (1, E) kept so far
+        for oh, gate in zip(onehots, gates):
+            pos = oh.cumsum(axis=0) - oh             # (T, E) exclusive
+            if filled is not None:
+                pos = pos + filled
+            keep = oh * (pos * -1.0 + float(cap)).gt(0.5)        # pos < cap
+            filled = keep.sum(axis=0, keepdims=True) if filled is None \
+                else filled + keep.sum(axis=0, keepdims=True)
+            pos_tok = (pos * keep).sum(axis=-1, keepdims=True)   # (T, 1)
+            poh = pos_tok.eq(slots)                  # (T, C) slot one-hot
+            d = (keep.reshape(n_tok, n_exp, 1) * poh.reshape(n_tok, 1, cap))
+            d = d.reshape(n_tok, n_exp * cap)
+            disp = d if disp is None else disp + d
+            dg = d * gate
+            comb = dg if comb is None else comb + dg
+
+        # --- expert FFN + combine ------------------------------------------
         xd = disp.T(1, 0) @ t                        # (E*C, d)
         h = (xd.reshape(n_exp, cap, dim) @ self.w1).gelu() @ self.w2
-        return (disp * gate) @ h.reshape(n_exp * cap, dim)
+        return comb @ h.reshape(n_exp * cap, dim)
 
     def forward(self, x):
         lead, dim = x.shape[:-1], x.shape[-1]
         t = x.reshape(-1, dim)                       # (T, d)
         n_tok = t.shape[0]
-        if self.dispatch == "top1":
-            y = self._top1(t, n_tok, dim)
+        if self.dispatch in ("top1", "topk"):
+            y = self._topk(t, n_tok, dim)
         else:
             y = self._dense(t, n_tok, dim)
         return y.reshape(*lead, dim)

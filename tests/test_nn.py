@@ -331,3 +331,29 @@ def test_amp_cast_module_trains():
     assert losses[-1] < losses[0]
     light.amp.cast_module(model, jnp.float32)
     assert all(p.dtype == jnp.float32 for p in model.parameters())
+
+
+def test_checkpoint_bf16_roundtrip(tmp_path):
+    """Saving a bf16-cast model and resuming into a bf16 model preserves
+    dtype AND values exactly (bf16 -> f32 in npz is exact widening)."""
+    import jax.numpy as jnp
+    import lightgrad_tpu.checkpoint as ckpt
+
+    np.random.seed(11)
+    m1 = TwoLayer()
+    light.amp.cast_module(m1, jnp.bfloat16)
+    path = str(tmp_path / "bf16.npz")
+    ckpt.save_checkpoint(path, m1)
+
+    m2 = TwoLayer()
+    light.amp.cast_module(m2, jnp.bfloat16)
+    ckpt.load_checkpoint(path, m2)
+    for (n1, p1), (n2, p2) in zip(m1.named_parameters(), m2.named_parameters()):
+        assert p2.dtype == jnp.bfloat16, (n2, p2.dtype)
+        np.testing.assert_array_equal(
+            p1.numpy().astype(np.float32), p2.numpy().astype(np.float32), err_msg=n1)
+
+    # loading the same f32-stored archive into an f32 model also works
+    m3 = TwoLayer()
+    ckpt.load_checkpoint(path, m3)
+    assert all(p.dtype == jnp.float32 for p in m3.parameters())

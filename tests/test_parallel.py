@@ -216,3 +216,203 @@ def test_moe_aux_loss_not_a_parameter():
     moe(x)
     assert len(list(moe.parameters())) == n_before
     assert "aux_loss" not in moe.state_dict()
+
+
+def test_cumsum_op_both_backends():
+    from lightgrad_tpu.autograd import CpuTensor, TpuTensor
+    from lightgrad_tpu.utils.gradcheck import assert_gradcheck
+
+    x = np.random.default_rng(7).uniform(-1, 1, (3, 5)).astype(np.float32)
+    for cls in (CpuTensor, TpuTensor):
+        for ax in (0, 1, -1):
+            got = cls.from_numpy(x).cumsum(axis=ax).numpy()
+            np.testing.assert_allclose(got, np.cumsum(x, axis=ax), rtol=1e-5, atol=1e-6)
+        assert_gradcheck(lambda t: t.cumsum(axis=0), cls.from_numpy(x))
+
+
+def test_moe_top2_matches_dense_with_two_experts():
+    """With E=2, k=2 and ample capacity, normalized top-2 == dense mixture."""
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(5)
+    k2 = nn.MoE(dim=8, hidden=16, n_experts=2, dispatch="topk", k=2,
+                capacity_factor=4.0)
+    dense = nn.MoE(dim=8, hidden=16, n_experts=2, dispatch="dense")
+    dense.load_parameters(k2.state_dict())
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (10, 8)).astype(np.float32), requires_grad=False)
+    np.testing.assert_allclose(k2(x).numpy(), dense(x).numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_moe_top2_dispatch_oracle():
+    """k=2 routing matches a manual per-token two-expert oracle."""
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(6)
+    n_tok, dim, n_exp, k, cf = 12, 8, 4, 2, 2.0
+    moe = nn.MoE(dim=dim, hidden=16, n_experts=n_exp, dispatch="topk", k=k,
+                 capacity_factor=cf)
+    t = np.random.uniform(-1, 1, (n_tok, dim)).astype(np.float32)
+    y = moe(TpuTensor.from_numpy(t, requires_grad=False)).numpy()
+
+    p = dict(moe.named_parameters())
+    wr, w1, w2 = p["router.weight"].numpy(), p["w1"].numpy(), p["w2"].numpy()
+    logits = t @ wr.T
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    probs = e / e.sum(-1, keepdims=True)
+
+    def gelu(v):
+        return 0.5 * v * (1 + np.tanh(0.7978845608028654 * (v + 0.044715 * v**3)))
+
+    cap = int(np.ceil(k * n_tok / n_exp * cf))
+    order = np.argsort(-probs, axis=-1, kind="stable")
+    counts = np.zeros(n_exp, int)
+    want = np.zeros_like(t)
+    # choice-major priority: all first choices claim capacity before seconds
+    kept = [[] for _ in range(n_tok)]
+    for choice in range(k):
+        for i in range(n_tok):
+            eidx = order[i, choice]
+            if counts[eidx] < cap:
+                counts[eidx] += 1
+                kept[i].append(eidx)
+    for i in range(n_tok):
+        denom = probs[i, order[i, :k]].sum() + 1e-9
+        for eidx in kept[i]:
+            g = probs[i, eidx] / denom
+            want[i] += g * (gelu(t[i] @ w1[eidx]) @ w2[eidx])
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_tie_break_deterministic():
+    """Exact router ties dispatch once, to the lowest expert index."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(8)
+    moe = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="top1",
+                 capacity_factor=16.0)
+    # zero router weights -> all probs exactly 0.25 -> 4-way tie per token
+    with light.no_grad():
+        dict(moe.named_parameters())["router.weight"].fill(0)
+    t = np.random.uniform(-1, 1, (8, 8)).astype(np.float32)
+    y = moe(TpuTensor.from_numpy(t, requires_grad=False)).numpy()
+    p = dict(moe.named_parameters())
+    w1, w2 = p["w1"].numpy(), p["w2"].numpy()
+
+    def gelu(v):
+        return 0.5 * v * (1 + np.tanh(0.7978845608028654 * (v + 0.044715 * v**3)))
+
+    # every token must go exactly once, to expert 0, with gate 0.25
+    want = 0.25 * (gelu(t @ w1[0]) @ w2[0])
+    np.testing.assert_allclose(y, want, rtol=1e-4, atol=1e-5)
+    # aux loss: frac=(1,0,0,0), mean_prob=0.25 -> E * 1 * 0.25 = 1.0
+    np.testing.assert_allclose(moe.aux_loss.item(), 1.0, rtol=1e-5)
+
+
+def test_moe_large_token_count_no_quadratic_buffer():
+    """T=16384 tokens runs through sparse dispatch (a (T,T) tril would be 1 GiB)."""
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(9)
+    moe = nn.MoE(dim=16, hidden=32, n_experts=8, dispatch="topk", k=2)
+    t = np.random.uniform(-1, 1, (16384, 16)).astype(np.float32)
+    y = moe(TpuTensor.from_numpy(t, requires_grad=False))
+    assert y.shape == (16384, 16)
+    assert np.isfinite(y.numpy()).all()
+
+
+@needs_mesh
+def test_moe_topk_expert_parallel():
+    """top-2 MoE trains with expert weights sharded over an ep axis."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.parallel import make_mesh, shard_module, MOE_EP_RULES
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(10)
+    moe = nn.MoE(dim=16, hidden=32, n_experts=4, dispatch="topk", k=2)
+    mesh = make_mesh(dp=1, tp=1, ep=4)
+    shard_module(moe, mesh, MOE_EP_RULES)
+    x = TpuTensor.from_numpy(np.random.uniform(-1, 1, (32, 16)).astype(np.float32), requires_grad=False)
+    y = TpuTensor.from_numpy(np.random.uniform(-1, 1, (32, 16)).astype(np.float32), requires_grad=False)
+    optim = light.optim.Adam(moe.parameters(), lr=5e-3)
+    losses = []
+    for _ in range(25):
+        loss = light.loss.mse(moe(x), y) + moe.aux_loss * 0.01
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0], losses[::8]
+
+
+@needs_mesh
+def test_interleaved_pipeline_matches_sequential():
+    """Virtual-stage interleaved schedule: outputs equal running all P*V
+    blocks in order, and the drain latency beats GPipe's (VERDICT r1 #9)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lightgrad_tpu.parallel import make_mesh
+    from lightgrad_tpu.parallel.pipeline import (
+        pipeline_apply_interleaved, interleaved_ticks, gpipe_ticks)
+
+    pp, V, n_micro, mb, dim = 4, 2, 4, 2, 8
+    mesh = make_mesh(dp=1, tp=1, pp=pp)
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(0, 0.4, (pp * V, dim, dim)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(size=(n_micro, mb, dim)).astype(np.float32))
+
+    def stage(wi, h):
+        return jnp.tanh(h @ wi)
+
+    w_sharded = jax.device_put(
+        w.reshape(V, pp, dim, dim), NamedSharding(mesh, P(None, "pp")))
+    got = pipeline_apply_interleaved(
+        stage, w, xs, mesh, axis="pp", n_virtual=V)
+
+    want = xs
+    for s in range(pp * V):
+        want = jnp.tanh(want @ w[s])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    # bubble shrink: 11 block-ticks vs GPipe's 14 for the same 8-block model
+    assert interleaved_ticks(n_micro, pp, V) == 11
+    assert gpipe_ticks(n_micro, pp, V) == 14
+    assert interleaved_ticks(n_micro, pp, V) < gpipe_ticks(n_micro, pp, V)
+
+
+@needs_mesh
+def test_interleaved_pipeline_gradients():
+    import jax.numpy as jnp
+    from lightgrad_tpu.parallel import make_mesh
+    from lightgrad_tpu.parallel.pipeline import pipeline_apply_interleaved
+
+    pp, V, n_micro, mb, dim = 2, 2, 2, 2, 6
+    mesh = make_mesh(dp=1, tp=1, pp=pp)
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(0, 0.4, (pp * V, dim, dim)).astype(np.float32))
+    xs = jnp.asarray(rng.normal(size=(n_micro, mb, dim)).astype(np.float32))
+
+    def stage(wi, h):
+        return jnp.tanh(h @ wi)
+
+    def loss_pipe(w):
+        y = pipeline_apply_interleaved(stage, w, xs, mesh, axis="pp", n_virtual=V)
+        return jnp.mean(y * y)
+
+    def loss_seq(w):
+        h = xs
+        for s in range(pp * V):
+            h = jnp.tanh(h @ w[s])
+        return jnp.mean(h * h)
+
+    gp = jax.jit(jax.grad(loss_pipe))(w)
+    gs = jax.grad(loss_seq)(w)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                               rtol=2e-4, atol=2e-5)
