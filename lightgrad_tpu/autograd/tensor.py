@@ -144,7 +144,11 @@ class AbstractTensor:
         if self.__ctx is None:
             return
         if self.shape == (1,) or len(self.shape) == 0 or allow_fill:
-            self.__grad = type(self).ones(self.shape, requires_grad=False)
+            # seed in the output's own dtype: an f32 seed would silently
+            # promote every gradient (and, via in-place updates, every
+            # parameter) of a bf16 model back to f32
+            self.__grad = type(self).ones(
+                self.shape, requires_grad=False, dtype=self.dtype)
         else:
             raise RuntimeError("can only backpropagate from scalar tensors (or pass allow_fill=True)")
         Gradients.backward(self.__ctx, self.__grad)
@@ -161,7 +165,8 @@ class AbstractTensor:
     def zero_grad(self, traverse_graph: bool = False) -> None:
         if self.__requires_grad:
             if self.__grad is None:
-                self.__grad = type(self).zeros(self.shape, requires_grad=False)
+                self.__grad = type(self).zeros(
+                    self.shape, requires_grad=False, dtype=self.dtype)
             else:
                 self.__grad.fill(0)
         if traverse_graph and self.__ctx is not None:

@@ -18,6 +18,11 @@ class Optimizer:
     def __init__(self, parameters):
         self.parameters = tuple(parameters)
         assert all(isinstance(p, AbstractTensor) for p in self.parameters)
+        # optional scalar {0,1} tensor set by amp.MixedPrecision: a 0 gate
+        # algebraically skips the step (params AND optimizer state untouched)
+        # without data-dependent python control flow, so gated steps stay
+        # jit-compilable
+        self._gate = None
 
     def zero_grad(self):
         for p in self.parameters:
@@ -26,7 +31,8 @@ class Optimizer:
     @Gradients.no_grad()
     def step(self):
         for i, p in enumerate(self.parameters):
-            p += self.compute_delta(p.grad, i)
+            d = self.compute_delta(p.grad, i)
+            p += d * self._gate if self._gate is not None else d
 
     def compute_delta(self, grad, idx):
         raise NotImplementedError()
@@ -54,8 +60,13 @@ class SGD(Optimizer):
         if self.velocity is None:
             return grad * (-self.lr)
         v = self.velocity[i]
-        v *= self.momentum
-        v += grad * (-self.lr)
+        if self._gate is None:
+            v *= self.momentum
+            v += grad * (-self.lr)
+        else:
+            # gate==0 -> multiplier 1 and zero increment: velocity untouched
+            v *= self.momentum * self._gate + (1.0 - self._gate)
+            v += grad * (-self.lr) * self._gate
         return v
 
 
@@ -80,10 +91,15 @@ class Adam(Optimizer):
     def step(self):
         import numpy as np
 
-        self.t += 1.0
-        # bias corrections: beta^t computed as exp(t * ln(beta)) in tensors
-        self._bc1 = 1.0 / (1.0 - (self.t * float(np.log(self.b1))).exp())
-        self._bc2 = 1.0 / (1.0 - (self.t * float(np.log(self.b2))).exp())
+        self.t += 1.0 if self._gate is None else self._gate
+        # bias corrections: beta^t computed as exp(t * ln(beta)) in tensors.
+        # t can be 0 when every step so far was gate-skipped: the denominator
+        # is then exactly 0 -- bump it to 1 (moments are all-zero there, so
+        # the correction value is irrelevant but must stay finite).
+        d1 = 1.0 - (self.t * float(np.log(self.b1))).exp()
+        d2 = 1.0 - (self.t * float(np.log(self.b2))).exp()
+        self._bc1 = 1.0 / (d1 + d1.eq(0.0))
+        self._bc2 = 1.0 / (d2 + d2.eq(0.0))
         super().step()
 
     def _second_moment_update(self, grad, i):
@@ -91,10 +107,17 @@ class Adam(Optimizer):
 
     def compute_delta(self, grad, i):
         m, v = self.m[i], self.v[i]
-        m *= self.b1
-        m += grad * (1 - self.b1)
-        v *= self.b2
-        v += self._second_moment_update(grad, i) * (1 - self.b2)
+        if self._gate is None:
+            m *= self.b1
+            m += grad * (1 - self.b1)
+            v *= self.b2
+            v += self._second_moment_update(grad, i) * (1 - self.b2)
+        else:
+            g = self._gate
+            m *= self.b1 * g + (1.0 - g)
+            m += grad * ((1 - self.b1) * g)
+            v *= self.b2 * g + (1.0 - g)
+            v += self._second_moment_update(grad, i) * ((1 - self.b2) * g)
         m_hat = m * self._bc1
         v_hat = v * self._bc2
         return m_hat * (-self.lr) / (v_hat ** 0.5 + self.eps)
