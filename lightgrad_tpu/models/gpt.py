@@ -17,6 +17,19 @@ from lightgrad_tpu.autograd import Tensor, no_grad
 __all__ = ["GPTConfig", "GPT", "GPT2Tokenizer", "ByteTokenizer"]
 
 
+class _NotJaxBacked(TypeError):
+    """Parameters are not jax arrays; KV-cache decode unavailable."""
+
+
+def _sample(logits: np.ndarray, temperature: float, rng) -> int:
+    if temperature <= 0:
+        return int(np.argmax(logits))
+    z = (logits - logits.max()) / temperature
+    prob = np.exp(z)
+    prob /= prob.sum()
+    return int(rng.choice(len(prob), p=prob))
+
+
 class GPTConfig:
     def __init__(self, vocab_size=50257, n_positions=1024, n_embd=768,
                  n_layer=12, n_head=12, layer_norm_epsilon=1e-5, **unused):
@@ -91,17 +104,28 @@ class GPT(nn.Module):
 
     @no_grad()
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
-                 rng: np.random.Generator = None):
-        """Autoregressive decode (full recompute; greedy when temperature=0).
+                 rng: np.random.Generator = None, use_cache: bool = True):
+        """Autoregressive decode; greedy when ``temperature=0``.
 
-        The context is right-padded to the fixed ``n_positions`` window --
-        under a causal mask the logits at the last *real* position are
-        unaffected by right padding, so every decode step reuses ONE compiled
-        shape instead of recompiling per context length.
+        ``use_cache=True`` (default, jax-backed tensors only): incremental
+        decoding with a fixed-shape KV cache -- per-token cost is
+        O(window * d) and independent of how many tokens were already
+        emitted.  One compiled ``lax.scan`` prefills the prompt, one compiled
+        single-token step decodes; both trace exactly once.
+
+        ``use_cache=False``: full recompute of the right-padded
+        ``n_positions`` window per token (the reference-parity path; under a
+        causal mask right-padding cannot affect the last real position, so
+        every step reuses ONE compiled shape) -- O(window^2 * d) per token.
         """
         ids = list(ids)
         rng = rng or np.random.default_rng(0)
         window = self.cfg.n_positions
+        if use_cache:
+            try:
+                return self._generate_kv(ids, max_new_tokens, temperature, rng)
+            except _NotJaxBacked:
+                pass  # non-jax backend (e.g. CPU oracle tensors): recompute
         if not hasattr(self, "_decode_fn"):
             from lightgrad_tpu.jit import jit as _step_jit
 
@@ -115,14 +139,107 @@ class GPT(nn.Module):
             padded = ctx + [0] * (window - len(ctx))
             x = Tensor.from_numpy(np.array([padded], dtype=np.int32), requires_grad=False)
             logits = self._decode_fn(x).numpy()[0, len(ctx) - 1]
-            if temperature <= 0:
-                nxt = int(np.argmax(logits))
-            else:
-                p = np.exp((logits - logits.max()) / temperature)
-                p /= p.sum()
-                nxt = int(rng.choice(len(p), p=p))
-            ids.append(nxt)
+            ids.append(_sample(logits, temperature, rng))
         return ids
+
+    # --- KV-cache incremental decoding (jax path) --------------------------
+    def _kv_functions(self):
+        """Build (init_cache, prefill_fn, step_fn) closing over parameter
+        buffers.  The cache is one stacked array ``(L, 2, n_head, W, hd)``;
+        each step writes the new K/V row at ``pos`` via dynamic_update_slice
+        and attends the single query over the full fixed window under a
+        ``<= pos`` mask, so XLA compiles exactly one program per function.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        H, hd, L, W = cfg.n_head, cfg.n_embd // cfg.n_head, cfg.n_layer, cfg.n_positions
+        eps = cfg.layer_norm_epsilon
+        p = {}
+        for name, t in self.named_parameters():
+            buf = t.data
+            if not isinstance(buf, jnp.ndarray):
+                raise _NotJaxBacked(type(buf).__name__)
+            p[name] = buf
+        scale = 1.0 / np.sqrt(hd)
+
+        def ln(x, w, b):
+            m = x.mean(-1, keepdims=True)
+            v = ((x - m) ** 2).mean(-1, keepdims=True)
+            return (x - m) / jnp.sqrt(v + eps) * w + b
+
+        def gelu(x):
+            return 0.5 * x * (1 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
+
+        def step(cache, pos, tok):
+            """One token at position ``pos``: returns (cache, logits)."""
+            x = p["wte.weight"][tok] + p["wpe.weight"][pos]      # (d,)
+            x = x[None, :]                                       # (1, d)
+            pos_mask = (jnp.arange(W) <= pos)[None, None, :]     # (1, 1, W)
+            for l in range(L):
+                pre = f"h.{l}."
+                h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
+                qkv = h @ p[pre + "attn.c_attn.weight"].T + p[pre + "attn.c_attn.bias"]
+                q, k, v = [a.reshape(H, 1, hd) for a in jnp.split(qkv[0], 3)]
+                kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
+                vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
+                cache = cache.at[l, 0].set(kc).at[l, 1].set(vc)
+                scores = jnp.einsum("hqd,hkd->hqk", q, kc) * scale   # (H, 1, W)
+                scores = jnp.where(pos_mask, scores, -1e30)
+                att = jax.nn.softmax(scores, axis=-1) @ vc           # (H, 1, hd)
+                att = att.transpose(1, 0, 2).reshape(1, H * hd)
+                x = x + att @ p[pre + "attn.c_proj.weight"].T + p[pre + "attn.c_proj.bias"]
+                h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
+                h2 = gelu(h2 @ p[pre + "c_fc.weight"].T + p[pre + "c_fc.bias"])
+                x = x + h2 @ p[pre + "c_proj.weight"].T + p[pre + "c_proj.bias"]
+            x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+            return cache, (x @ p["wte.weight"].T)[0]             # (vocab,)
+
+        def init_cache():
+            return jnp.zeros((L, 2, H, W, hd), dtype=p["wte.weight"].dtype)
+
+        @jax.jit
+        def prefill(cache, toks, n_real):
+            """Scan the padded prompt through ``step``; keep only the logits
+            of the last real token (padding writes rows the mask hides)."""
+            def body(c, inp):
+                pos, tok = inp
+                c, logits = step(c, pos, tok)
+                return c, logits
+
+            n = toks.shape[0]
+            cache, all_logits = jax.lax.scan(
+                body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
+            return cache, all_logits[n_real - 1]
+
+        step_jit = jax.jit(step)
+        return init_cache, prefill, step_jit
+
+    def _generate_kv(self, ids, max_new_tokens, temperature, rng):
+        import jax.numpy as jnp
+
+        W = self.cfg.n_positions
+        assert len(ids) + max_new_tokens <= W, (
+            f"KV-cache decode needs prompt+new <= n_positions "
+            f"({len(ids)}+{max_new_tokens} > {W}); use use_cache=False for "
+            f"sliding-window recompute"
+        )
+        if not hasattr(self, "_kv_fns"):
+            self._kv_fns = self._kv_functions()
+        init_cache, prefill, step = self._kv_fns
+        cache = init_cache()
+        # prefill pads to the fixed window so the scan compiles once; the
+        # <=pos mask makes pad rows unreachable by real queries
+        toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
+        cache, logits = prefill(cache, toks, len(ids))
+        out = list(ids)
+        out.append(_sample(np.asarray(logits), temperature, rng))
+        for _ in range(max_new_tokens - 1):
+            pos = jnp.int32(len(out) - 1)
+            cache, logits = step(cache, pos, jnp.int32(out[-1]))
+            out.append(_sample(np.asarray(logits), temperature, rng))
+        return out
 
     @staticmethod
     def remap_hf_state(state: dict) -> dict:
