@@ -75,7 +75,14 @@ class BertSelfAttention(nn.Module):
         k = self._split(self.key(x), b, s)
         v = self._split(self.value(x), b, s)
         scale = 1.0 / np.sqrt(self.head_dim)
-        if mask is None and hasattr(q, "attention"):
+        sp = getattr(self, "_sequence_parallel", None)
+        if mask is None and sp is not None and hasattr(q, "ring_attention"):
+            # sequence-parallel ring attention: K/V chunks stay sharded on
+            # the sp axis and rotate via ppermute (no full-sequence gather)
+            mesh, axis, batch_axis = sp
+            ctx = q.ring_attention(k, v, scale=scale, mesh=mesh, axis=axis,
+                                   batch_axis=batch_axis)
+        elif mask is None and hasattr(q, "attention"):
             # fused flash-attention pallas kernel: scores never hit HBM
             ctx = q.attention(k, v, scale=scale)
         else:

@@ -18,7 +18,24 @@ import re
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES", "MOE_EP_RULES"]
+__all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
+           "MOE_EP_RULES", "enable_sequence_parallel"]
+
+
+def enable_sequence_parallel(module, mesh, axis: str = "sp",
+                             batch_axis: str = None):
+    """Switch every self-attention submodule to ring attention over
+    ``mesh[axis]`` (see parallel/ring_attention.py).  Modules opt in by
+    reading their ``_sequence_parallel`` attribute (models/bert.py)."""
+    count = 0
+    stack = [module]
+    while stack:
+        m = stack.pop()
+        if type(m).__name__ in ("BertSelfAttention", "CausalSelfAttention"):
+            object.__setattr__(m, "_sequence_parallel", (mesh, axis, batch_axis))
+            count += 1
+        stack.extend(m._modules.values())
+    return count
 
 
 # (name regex, PartitionSpec) -- first match wins; unmatched -> replicated

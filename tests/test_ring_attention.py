@@ -1,0 +1,146 @@
+"""Ring attention over the sp axis (VERDICT r1 #5).
+
+Done-criterion: sp=4 sharded attention matches single-device flash at
+s=4096 to 1e-4, forward and gradients, with K/V rotating via ppermute
+instead of GSPMD all-gathering the full sequence."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lightgrad_tpu.parallel import make_mesh, ring_attention_sharded
+from lightgrad_tpu.ops.attention import _attn_fwd_impl, attention_fwd
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs >= 4 devices")
+
+
+def _qkv(b, s, d, seed=0):
+    rng = np.random.default_rng(seed)
+    return [jnp.asarray(rng.normal(0, 0.5, (b, s, d)).astype(np.float32))
+            for _ in range(3)]
+
+
+@needs_mesh
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_matches_single_device_flash_s4096(causal):
+    q, k, v = _qkv(2, 4096, 32, seed=1)
+    scale = 1.0 / np.sqrt(32)
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    shard = NamedSharding(mesh, P(None, "sp", None))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    got = ring_attention_sharded(qs, ks, vs, scale, mesh, axis="sp", causal=causal)
+    want = _attn_fwd_impl(q, k, v, scale, mode="xla", causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@needs_mesh
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_gradients_match(causal):
+    """ppermute's transpose gives the ring backward for free; gradients of
+    the sharded ring must match the dense single-device gradients."""
+    q, k, v = _qkv(2, 512, 16, seed=2)
+    scale = 0.25
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    shard = NamedSharding(mesh, P(None, "sp", None))
+
+    def loss_ring(q, k, v):
+        y = ring_attention_sharded(q, k, v, scale, mesh, axis="sp",
+                                   causal=causal)
+        return jnp.sum(y * y)
+
+    def loss_dense(q, k, v):
+        y = _attn_fwd_impl(q, k, v, scale, mode="xla", causal=causal)
+        return jnp.sum(y * y)
+
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gr, gd, name in zip(g_ring, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@needs_mesh
+def test_ring_no_full_sequence_allgather():
+    """The compiled ring program must not materialize a full (s, s) score
+    tensor nor an all-gathered (s, d) K/V: peak live memory per device stays
+    ~O(s_local): check the HLO contains ppermute (collective-permute) and no
+    all-gather on the K/V path."""
+    q, k, v = _qkv(1, 1024, 16, seed=3)
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    shard = NamedSharding(mesh, P(None, "sp", None))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+
+    from lightgrad_tpu.parallel.ring_attention import _build_sharded
+    fn = _build_sharded(mesh, "sp", None, 0.25, False)
+    txt = fn.lower(qs, ks, vs).compile().as_text()
+    assert "collective-permute" in txt, "ring rotation missing"
+    assert "all-gather" not in txt, "K/V must stay sharded"
+
+
+@needs_mesh
+def test_ring_with_dp_batch_sharding():
+    q, k, v = _qkv(4, 256, 16, seed=4)
+    scale = 0.25
+    mesh = make_mesh(dp=2, tp=1, sp=2)
+    shard = NamedSharding(mesh, P("dp", "sp", None))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    got = ring_attention_sharded(qs, ks, vs, scale, mesh, axis="sp",
+                                 batch_axis="dp")
+    want = _attn_fwd_impl(q, k, v, scale, mode="xla", causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@needs_mesh
+def test_ring_4d_heads_shape():
+    """(b, h, s, d) inputs fold heads into the batch dim transparently."""
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(0, 0.5, (2, 3, 256, 16)).astype(np.float32))
+               for _ in range(3))
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    shard = NamedSharding(mesh, P(None, None, "sp", None))
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    got = ring_attention_sharded(qs, ks, vs, 0.25, mesh, axis="sp")
+    want = _attn_fwd_impl(q, k, v, 0.25, mode="xla", causal=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+@needs_mesh
+def test_bert_with_ring_attention_matches_dense():
+    """enable_sequence_parallel swaps BERT attention onto the ring path;
+    outputs must match the single-device flash/XLA path."""
+    import lightgrad_tpu as light
+    from lightgrad_tpu import models, parallel
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.ops import runtime
+
+    prev = runtime.set_kernel_mode("xla")
+    try:
+        np.random.seed(7)
+        cfg = models.BertConfig(
+            vocab_size=128, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=32)
+        model = models.BertModel(cfg)
+        ids_np = np.random.randint(0, 128, (2, 16)).astype(np.int32)
+
+        with light.no_grad():
+            want = model(TpuTensor(jnp.asarray(ids_np), requires_grad=False)).numpy()
+
+        mesh = make_mesh(dp=1, tp=1, sp=4)
+        n = parallel.enable_sequence_parallel(model, mesh, axis="sp")
+        assert n == 2
+        ids = TpuTensor(
+            jax.device_put(ids_np, NamedSharding(mesh, P(None, "sp"))),
+            requires_grad=False)
+        with light.no_grad():
+            got = model(ids).numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        runtime.set_kernel_mode(prev)
