@@ -7,8 +7,10 @@ reference implementation's CPU backend measured on this host
 (benchmarks/reference_cpu.json; its OpenCL backend needs an ICD this image
 lacks).  ``vs_baseline`` is the speedup factor (reference_seconds / ours).
 
-Detailed sub-benchmarks (gradient-descent loop, matmul/conv GFLOP/s, BERT
-layer fwd+bwd) go to stderr and benchmarks/tpu_results.json.
+Protocol (VERDICT r1 #4): every entry is the MEDIAN of >=5 timed regions
+with per-region values recorded; compute entries also report achieved
+TFLOP/s and MFU against the v5e bf16 peak (197 TF/s).  Detailed
+sub-benchmarks go to stderr and benchmarks/tpu_results.json.
 """
 
 import json
@@ -23,11 +25,18 @@ import numpy as np
 import lightgrad_tpu as light
 import lightgrad_tpu.nn as nn
 from lightgrad_tpu.autograd import TpuTensor
+from benchmarks.bench_util import time_median
 
 err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
+V5E_BF16_PEAK = 197e12
 
-def bench_mnist_mlp(steps=200, batch=128):
+
+def _mfu(flops, dt):
+    return round(flops / dt / V5E_BF16_PEAK, 4)
+
+
+def bench_mnist_mlp(steps=200, batch=128, repeats=5):
     from lightgrad_tpu.data import _synthetic_digits
 
     xs, ys = _synthetic_digits(steps * batch + batch)
@@ -70,24 +79,28 @@ def bench_mnist_mlp(steps=200, batch=128):
     for i in range(3):
         loss = fn(offs[i])
     loss.numpy()
-    # best-of-3: the shared chip has large run-to-run variance
-    best = float("inf")
-    for _ in range(3):
+    vals = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
         for i in range(steps):
             loss = fn(offs[i])
         loss.numpy()
-        best = min(best, time.perf_counter() - t0)
-    return best, float(loss.item())
+        vals.append(round(time.perf_counter() - t0, 4))
+    return float(np.median(vals)), vals, float(loss.item())
 
 
-def bench_gradient_descent(epochs=100):
+def bench_gradient_descent(epochs=100, chain=10):
+    """The reference's examples/gradient_descent.py workload.
+
+    Round 1 ran one compiled epoch per dispatch and lost to numpy (0.7x):
+    the 64^2 problem is pure tunnel-RPC floor.  Chaining ``chain`` epochs
+    inside ONE compiled step amortizes the dispatch (same total math)."""
     np.random.seed(3)
     a = light.uniform(-1, 1, (64, 64))
     b = light.uniform(-1, 1, (64, 64))
     c = light.uniform(-1, 1, (64, 64))
 
-    def epoch():
+    def one_epoch():
         y = (a.tanh() + b.sigmoid()) @ (c.relu() - a.sigmoid())
         loss = y * y
         for p in (a, b, c):
@@ -98,90 +111,79 @@ def bench_gradient_descent(epochs=100):
                 p += p.grad * (-0.001)
         return loss
 
-    fn = light.jit(epoch)
-    for _ in range(3):
+    def epoch_block():
+        for _ in range(chain):
+            loss = one_epoch()
+        return loss
+
+    fn = light.jit(epoch_block)
+    for _ in range(2):
         loss = fn()
     loss.numpy()
-    t0 = time.perf_counter()
-    for _ in range(epochs):
-        loss = fn()
-    loss.numpy()
-    return time.perf_counter() - t0
+    vals = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(epochs // chain):
+            loss = fn()
+        loss.numpy()
+        vals.append(round(time.perf_counter() - t0, 4))
+    return float(np.median(vals)), vals
 
 
-def bench_matmul(n=1024, iters=50):
+def _fwd_bwd_bench(make_loss, params, flops, iters, repeats=5):
+    def fwd_bwd():
+        loss = make_loss()
+        for p in params:
+            p.zero_grad()
+        loss.backward(allow_fill=True)
+        return loss
+
+    fn = light.jit(fwd_bwd)
+    dt, vals = time_median(lambda: fn().data, iters=iters, repeats=repeats)
+    return dt, vals, flops / dt / 1e9
+
+
+def bench_matmul(n=1024, iters=50, dtype=None):
     np.random.seed(1)
     a = light.uniform(-1, 1, (n, n))
     b = light.uniform(-1, 1, (n, n))
-
-    def fwd_bwd():
-        y = a @ b
-        a.zero_grad()
-        b.zero_grad()
-        y.backward(allow_fill=True)
-        return y
-
-    fn = light.jit(fwd_bwd)
-    for _ in range(3):
-        y = fn()
-    y.numpy()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn()
-    y.numpy()
-    dt = (time.perf_counter() - t0) / iters
-    return dt, 3 * 2 * n**3 / dt / 1e9
+    if dtype is not None:
+        a = a.astype(dtype).detach()._set_requires_grad(True)
+        b = b.astype(dtype).detach()._set_requires_grad(True)
+    return _fwd_bwd_bench(lambda: a @ b, (a, b), 3 * 2 * n ** 3, iters)
 
 
 def bench_conv(iters=20):
     np.random.seed(1)
     x = light.uniform(-1, 1, (32, 16, 28, 28))
     w = light.uniform(-1, 1, (32, 16, 3, 3))
-
-    def fwd_bwd():
-        y = x.conv(w, strides=1)
-        x.zero_grad()
-        w.zero_grad()
-        y.backward(allow_fill=True)
-        return y
-
-    fn = light.jit(fwd_bwd)
-    for _ in range(3):
-        y = fn()
-    y.numpy()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn()
-    y.numpy()
-    dt = (time.perf_counter() - t0) / iters
-    flops = 2 * 32 * 32 * 26 * 26 * 16 * 9
-    return dt, 3 * flops / dt / 1e9
+    flops = 3 * 2 * 32 * 32 * 26 * 26 * 16 * 9
+    return _fwd_bwd_bench(lambda: x.conv(w, strides=1), (x, w), flops, iters)
 
 
-def bench_bert_layer(iters=20, batch=8, seq=128):
+def _bert_layer_flops(batch, seq, cfg):
+    """fwd+bwd FLOPs of one BERT layer (3x fwd matmul FLOPs)."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    per_tok = 8 * h * h + 4 * h * i          # qkv (6h^2) + proj (2h^2) + mlp
+    attn = 4 * seq * h                       # scores (2sh) + context (2sh)
+    return 3 * batch * seq * (per_tok + attn)
+
+
+def bench_bert_layer(iters=20, batch=8, seq=128, dtype=None):
     from lightgrad_tpu.models.bert import BertConfig, BertLayer
 
     np.random.seed(0)
     cfg = BertConfig()
     layer = BertLayer(cfg)
     x = light.uniform(-1, 1, (batch, seq, cfg.hidden_size))
+    if dtype is not None:
+        light.amp.cast_module(layer, dtype)
+        x = x.astype(dtype).detach()._set_requires_grad(True)
 
-    def fwd_bwd():
-        y = layer(x)
-        loss = y * y
-        x.zero_grad()
-        loss.backward(allow_fill=True)
-        return loss
-
-    fn = light.jit(fwd_bwd)
-    for _ in range(3):
-        loss = fn()
-    loss.numpy()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        loss = fn()
-    loss.numpy()
-    return (time.perf_counter() - t0) / iters
+    dt, vals, gf = _fwd_bwd_bench(
+        lambda: (lambda y: y * y)(layer(x)), (x,),
+        _bert_layer_flops(batch, seq, cfg), iters)
+    return dt, vals, gf
 
 
 def bench_attention_long(iters=10, bh=96, s=2048, d=64):
@@ -192,65 +194,78 @@ def bench_attention_long(iters=10, bh=96, s=2048, d=64):
     k = light.uniform(-1, 1, (bh, s, d))
     v = light.uniform(-1, 1, (bh, s, d))
     scale = 1.0 / np.sqrt(d)
-
-    def fwd_bwd():
-        y = q.attention(k, v, scale=scale)
-        loss = y * y
-        q.zero_grad()
-        k.zero_grad()
-        v.zero_grad()
-        loss.backward(allow_fill=True)
-        return loss
-
-    fn = light.jit(fwd_bwd)
-    for _ in range(3):
-        y = fn()
-    y.numpy()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = fn()
-    y.numpy()
-    dt = (time.perf_counter() - t0) / iters
     flops = 4 * bh * s * s * d * 3.5  # fwd + ~2.5x bwd
-    return dt, flops / dt / 1e9
+    return _fwd_bwd_bench(
+        lambda: (lambda y: y * y)(q.attention(k, v, scale=scale)),
+        (q, k, v), flops, iters)
 
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     details = {
         "device": str(jax.devices()[0]),
         "kernel_mode": __import__("lightgrad_tpu.ops.runtime", fromlist=["kernel_mode"]).kernel_mode(),
+        "protocol": "median of >=5 regions; per-region values recorded",
+        "peak_ref_tflops_bf16": V5E_BF16_PEAK / 1e12,
     }
     err(f"device: {details['device']}, kernels: {details['kernel_mode']}")
 
-    dt = bench_gradient_descent()
+    dt, runs = bench_gradient_descent()
     details["gradient_descent_100epochs_s"] = round(dt, 4)
-    err(f"gradient_descent 100 epochs: {dt:.4f}s")
+    details["gradient_descent_runs"] = runs
+    err(f"gradient_descent 100 epochs (10-epoch compiled blocks): {dt:.4f}s {runs}")
 
-    mnist_s, final_loss = bench_mnist_mlp()
+    mnist_s, runs, final_loss = bench_mnist_mlp()
     details["mnist_mlp_200steps_s"] = round(mnist_s, 4)
+    details["mnist_mlp_runs"] = runs
     details["mnist_final_loss"] = round(final_loss, 4)
-    err(f"mnist mlp 200 steps: {mnist_s:.4f}s (loss {final_loss:.4f})")
+    err(f"mnist mlp 200 steps: median {mnist_s:.4f}s {runs} (loss {final_loss:.4f})")
 
-    dt, gf = bench_matmul()
-    details["matmul1024_fwdbwd_s"] = round(dt, 6)
-    details["matmul1024_fwdbwd_gflops"] = round(gf, 1)
-    err(f"matmul 1024^2 fwd+bwd: {dt * 1e3:.3f}ms = {gf:.0f} GFLOP/s")
+    dt, runs, gf = bench_matmul()
+    details["matmul1024_f32_fwdbwd_s"] = round(dt, 6)
+    details["matmul1024_f32_runs"] = runs
+    details["matmul1024_f32_gflops"] = round(gf, 1)
+    details["matmul1024_f32_mfu"] = _mfu(3 * 2 * 1024 ** 3, dt)
+    err(f"matmul 1024^2 f32 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
+        f"(mfu {details['matmul1024_f32_mfu']})")
 
-    dt, gf = bench_conv()
+    dt, runs, gf = bench_matmul(n=4096, iters=10, dtype=jnp.bfloat16)
+    details["matmul4096_bf16_fwdbwd_s"] = round(dt, 6)
+    details["matmul4096_bf16_runs"] = runs
+    details["matmul4096_bf16_gflops"] = round(gf, 1)
+    details["matmul4096_bf16_mfu"] = _mfu(3 * 2 * 4096 ** 3, dt)
+    err(f"matmul 4096^2 bf16 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
+        f"(mfu {details['matmul4096_bf16_mfu']})")
+
+    dt, runs, gf = bench_conv()
     details["conv2d_fwdbwd_s"] = round(dt, 6)
+    details["conv2d_runs"] = runs
     details["conv2d_fwdbwd_gflops"] = round(gf, 1)
-    err(f"conv2d fwd+bwd: {dt * 1e3:.3f}ms = {gf:.0f} GFLOP/s")
+    err(f"conv2d fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s")
 
-    dt = bench_bert_layer()
-    details["bert_layer_fwdbwd_s"] = round(dt, 5)
-    err(f"BERT-base layer fwd+bwd (8x128): {dt * 1e3:.2f}ms")
+    dt, runs, gf = bench_bert_layer()
+    details["bert_layer_f32_8x128_fwdbwd_s"] = round(dt, 5)
+    details["bert_layer_f32_8x128_runs"] = runs
+    details["bert_layer_f32_8x128_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+    err(f"BERT layer f32 8x128 fwd+bwd: {dt*1e3:.2f}ms "
+        f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_f32_8x128_mfu']})")
 
-    dt, gf = bench_attention_long()
+    dt, runs, gf = bench_bert_layer(batch=8, seq=512, dtype=jnp.bfloat16)
+    details["bert_layer_bf16_8x512_fwdbwd_s"] = round(dt, 5)
+    details["bert_layer_bf16_8x512_runs"] = runs
+    details["bert_layer_bf16_8x512_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+    err(f"BERT layer bf16 8x512 fwd+bwd: {dt*1e3:.2f}ms "
+        f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_bf16_8x512_mfu']})")
+
+    dt, runs, gf = bench_attention_long()
     details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
+    details["flash_attention_s2048_runs"] = runs
     details["flash_attention_s2048_gflops"] = round(gf, 1)
-    err(f"flash attention fwd+bwd (96x2048x64): {dt * 1e3:.2f}ms = {gf:.0f} GFLOP/s")
+    details["flash_attention_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+    err(f"flash attention fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
+        f"(mfu {details['flash_attention_s2048_mfu']})")
 
     # baseline: reference CPU measured on this host
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -28,6 +28,19 @@ __all__ = ["matmul"]
 
 _BM, _BN, _BK = 256, 256, 512
 
+
+def _default_blocks(adt, bdt):
+    """Measured-best block shape per input dtype (benchmarks/gemm_sweep.json).
+
+    bf16 halves the bytes per element, so the contraction tile can double
+    within the same VMEM budget; blocks >= (512, 512, 1024) crash the
+    tunneled remote compiler on this host, so the bf16 config stays at
+    (512, 512, 512).
+    """
+    if adt == jnp.bfloat16 and bdt == jnp.bfloat16:
+        return (512, 512, 512)
+    return (_BM, _BN, _BK)
+
 # float32 matmul precision: 'highest' (3x bf16 passes, full f32 accuracy --
 # required for the reference's 5e-4 gradcheck tolerances) or 'default'
 # (single bf16 pass, ~6x the throughput).  bfloat16 inputs always take the
@@ -50,7 +63,7 @@ def _precision():
     )
 
 
-def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk):
+def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk, precision):
     k = pl.program_id(3)
 
     @pl.when(k == 0)
@@ -61,9 +74,12 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk):
         a_ref[0],
         b_ref[0],
         preferred_element_type=jnp.float32,
-        # full-precision multiplication: the MXU's default bf16 passes lose
-        # ~3 decimal digits, which breaks the 5e-4 gradcheck tolerance
-        precision=_precision(),
+        # f32 inputs: full-precision multiplication (the MXU's default bf16
+        # passes lose ~3 decimal digits, breaking the 5e-4 gradcheck
+        # tolerance).  bf16 inputs: always DEFAULT -- the MXU consumes bf16
+        # natively, and HIGHEST on bf16 operands crashes the Mosaic compiler
+        # on this host (remote-compiler HTTP 500, measured round 2).
+        precision=precision,
     )
 
     @pl.when(k == nk - 1)
@@ -71,13 +87,16 @@ def _mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk):
         o_ref[0] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _pallas_matmul3(a, b):
+def _pallas_matmul3(a, b, blocks=None):
     """a: (B, M, K), b: (B, K, N) -> (B, M, N)."""
     B, M, K = a.shape
     N = b.shape[2]
-    bm = min(round_up(M, 8), _BM)
-    bn = min(round_up(N, 128), _BN)
-    bk = min(round_up(K, 128), _BK)
+    if blocks is None:
+        blocks = _default_blocks(a.dtype, b.dtype)
+    BM, BN, BK = blocks
+    bm = min(round_up(M, 8), BM)
+    bn = min(round_up(N, 128), BN)
+    bk = min(round_up(K, 128), BK)
     # K must be an exact multiple: garbage in the contraction dim would
     # pollute valid outputs (M/N boundary garbage only lands on masked rows)
     kp = round_up(K, bk)
@@ -87,8 +106,11 @@ def _pallas_matmul3(a, b):
     nk = kp // bk
     grid = (B, cdiv(M, bm), cdiv(N, bn), nk)
     out_dtype = jnp.result_type(a.dtype, b.dtype)
+    prec = (jax.lax.Precision.DEFAULT
+            if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+            else _precision())
     return pl.pallas_call(
-        functools.partial(_mm_kernel, nk=nk),
+        functools.partial(_mm_kernel, nk=nk, precision=prec),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bm, bk), lambda h, i, j, k: (h, i, k), memory_space=pltpu.VMEM),
@@ -102,11 +124,17 @@ def _pallas_matmul3(a, b):
             bytes_accessed=(B * M * kp + B * kp * N + B * M * N) * a.dtype.itemsize,
             transcendentals=0,
         ),
+        # B/M/N grid axes are embarrassingly parallel; K is a sequential
+        # reduction ("arbitrary") -- lets Mosaic pipeline the K loop with the
+        # accumulator resident instead of assuming revisiting hazards
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
         interpret=INTERPRET,
     )(a, b)
 
 
-def _matmul_impl(a, b, mode):
+def _matmul_impl(a, b, mode, blocks=None):
     assert a.ndim >= 2 and b.ndim >= 2, "matmul requires >=2-D operands"
     if mode == "xla":
         return jnp.matmul(a, b, precision=_precision())
@@ -118,14 +146,56 @@ def _matmul_impl(a, b, mode):
     b3 = jnp.broadcast_to(b, batch + b.shape[-2:]).reshape(
         (prod(batch, start=1),) + b.shape[-2:]
     )
-    out = _pallas_matmul3(a3, b3)
+    out = _pallas_matmul3(a3, b3, blocks=blocks)
     return out.reshape(batch + out.shape[-2:])
 
 
 @functools.lru_cache(maxsize=None)
-def _build(mode):
+def _build(mode, blocks=None):
+    if mode == "pallas" and blocks is not None:
+        return jax.jit(functools.partial(_matmul_impl_blocks, blocks=blocks))
     return jax.jit(functools.partial(_matmul_impl, mode=mode))
 
 
+def _matmul_impl_blocks(a, b, blocks):
+    return _matmul_impl(a, b, "pallas", blocks=blocks)
+
+
+@functools.lru_cache(maxsize=1)
+def _policy():
+    """Measured routing table written by benchmarks/gemm_sweep.py."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "gemm_policy.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+_BUCKETS = (512, 1024, 2048, 4096)
+
+
+def _route(a, b):
+    """Resolve 'auto' for one matmul call against the measured sweep table
+    (per precision config and size bucket); default XLA when unmeasured."""
+    mode = resolve_mode("matmul")
+    if mode != "auto":
+        return mode, None
+    if a.ndim < 2 or b.ndim < 2:
+        return "xla", None
+    tag = ("bf16" if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+           else f"f32_{_PRECISION}")
+    n = min(a.shape[-2], a.shape[-1], b.shape[-1])
+    bucket = min(_BUCKETS, key=lambda c: abs(c - n))
+    choice = _policy().get(tag, {}).get(str(bucket))
+    if choice and choice.get("impl") == "pallas":
+        return "pallas", tuple(choice["blocks"])
+    return "xla", None
+
+
 def matmul(a, b):
-    return _build(resolve_mode("matmul"))(a, b)
+    mode, blocks = _route(a, b)
+    return _build(mode, blocks)(a, b)

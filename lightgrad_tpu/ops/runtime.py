@@ -83,6 +83,10 @@ def resolve_mode(op: str, **hints) -> str:
         # flash wins once the materialized (s, s) scores stop fitting the
         # cache/bandwidth budget; measured crossover ~1024 on v5e
         return "pallas" if hints.get("seq", 0) >= 1024 else "xla"
+    if op == "matmul":
+        # matmul routes per measured table (ops/gemm_policy.json, written by
+        # benchmarks/gemm_sweep.py); the caller resolves 'auto' against it
+        return "auto"
     return "xla"
 
 
