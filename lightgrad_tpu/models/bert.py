@@ -196,6 +196,53 @@ class BertForMaskedLM(nn.Module):
         model.load_parameters(BertForMaskedLM.remap_hf_state(state))
         return model, cfg
 
+    def export_hf_state(self) -> dict:
+        """Our parameter tree -> HuggingFace BERT names (inverse of
+        :meth:`remap_hf_state`; save-side export the reference lacked)."""
+        import re
+
+        out = {}
+        for name, arr in self.state_dict().items():
+            hf = name
+            hf = hf.replace(".attention.dense.", ".attention.output.dense.")
+            hf = hf.replace(".attention.LayerNorm.", ".attention.output.LayerNorm.")
+            hf = hf.replace(".intermediate.", ".intermediate.dense.")
+            hf = re.sub(r"(\.layer\.\d+)\.LayerNorm\.", r"\1.output.LayerNorm.", hf)
+            hf = re.sub(r"(\.layer\.\d+)\.output\.(weight|bias)$",
+                        r"\1.output.dense.\2", hf)
+            for src, dst in self._RENAMES:
+                if hf.startswith(dst):
+                    hf = src + hf[len(dst):]
+                    break
+            hf = hf.replace("bert.layer.", "bert.encoder.layer.")
+            out[hf] = arr
+        if "cls.predictions.decoder.bias" in out:
+            out["cls.predictions.bias"] = out["cls.predictions.decoder.bias"]
+        return out
+
+    def save_pretrained(self, directory: str) -> str:
+        """Write an HF-loadable checkpoint dir (pytorch_model.bin + config)."""
+        import os
+
+        from lightgrad_tpu.utils import save_torch_state_dict
+
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, "pytorch_model.bin")
+        save_torch_state_dict(self.export_hf_state(), path)
+        cfg = {
+            "model_type": "bert",
+            "vocab_size": self.cfg.vocab_size,
+            "hidden_size": self.cfg.hidden_size,
+            "num_hidden_layers": self.cfg.num_hidden_layers,
+            "num_attention_heads": self.cfg.num_attention_heads,
+            "intermediate_size": self.cfg.intermediate_size,
+            "max_position_embeddings": self.cfg.max_position_embeddings,
+            "layer_norm_eps": self.cfg.layer_norm_eps,
+        }
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        return path
+
 
 # ---------------------------------------------------------------------------
 # WordPiece tokenizer (from scratch; parity with reference bert.py:249-329)

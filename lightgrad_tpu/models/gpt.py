@@ -272,6 +272,45 @@ class GPT(nn.Module):
         model.load_parameters(GPT.remap_hf_state(state))
         return model, cfg
 
+    def export_hf_state(self) -> dict:
+        """Our parameter tree -> HuggingFace GPT-2 names (inverse of
+        :meth:`remap_hf_state`: Conv1D weights transposed back, mlp
+        prefixes restored)."""
+        out = {}
+        for name, arr in self.state_dict().items():
+            hf = name
+            if ".attn." not in hf:
+                hf = hf.replace(".c_fc.", ".mlp.c_fc.")
+                hf = hf.replace(".c_proj.", ".mlp.c_proj.")
+            if hf.endswith(".weight") and any(
+                k in hf for k in (".c_attn.", ".c_proj.", ".c_fc.")
+            ):
+                arr = np.ascontiguousarray(arr.T)
+            out[hf] = arr
+        return out
+
+    def save_pretrained(self, directory: str) -> str:
+        """Write an HF-loadable checkpoint dir (pytorch_model.bin + config)."""
+        import os
+
+        from lightgrad_tpu.utils import save_torch_state_dict
+
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, "pytorch_model.bin")
+        save_torch_state_dict(self.export_hf_state(), path)
+        cfg = {
+            "model_type": "gpt2",
+            "vocab_size": self.cfg.vocab_size,
+            "n_positions": self.cfg.n_positions,
+            "n_embd": self.cfg.n_embd,
+            "n_layer": self.cfg.n_layer,
+            "n_head": self.cfg.n_head,
+            "layer_norm_epsilon": self.cfg.layer_norm_epsilon,
+        }
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        return path
+
 
 class ByteTokenizer:
     """Offline fallback: raw UTF-8 bytes (vocab 256)."""

@@ -357,3 +357,71 @@ def test_checkpoint_bf16_roundtrip(tmp_path):
     m3 = TwoLayer()
     ckpt.load_checkpoint(path, m3)
     assert all(p.dtype == jnp.float32 for p in m3.parameters())
+
+
+def test_torch_export_roundtrip(tmp_path):
+    """save_torch_state_dict writes a torch-zip our reader AND real torch
+    both load bit-exactly (the save side the reference lacked)."""
+    from lightgrad_tpu.utils import save_torch_state_dict, load_torch_state_dict
+
+    state = {
+        "a.weight": np.random.randn(4, 3).astype(np.float32),
+        "a.bias": np.random.randn(4).astype(np.float32),
+        "ids": np.arange(6, dtype=np.int64).reshape(2, 3),
+        "flag": np.array([True, False]),
+    }
+    p = str(tmp_path / "model.bin")
+    save_torch_state_dict(state, p)
+    back = load_torch_state_dict(open(p, "rb").read())
+    for k in state:
+        np.testing.assert_array_equal(back[k], state[k], err_msg=k)
+    torch = pytest.importorskip("torch")
+    t = torch.load(p, map_location="cpu", weights_only=False)
+    for k in state:
+        np.testing.assert_array_equal(t[k].numpy(), state[k], err_msg=k)
+
+
+def test_bert_hf_export_roundtrip(tmp_path):
+    """export_hf_state is the exact inverse of remap_hf_state, and
+    save_pretrained emits a dir our from_pretrained pipeline reads back."""
+    from lightgrad_tpu.models.bert import BertForMaskedLM, BertConfig
+    from lightgrad_tpu.utils import load_torch_state_dict
+
+    np.random.seed(13)
+    cfg = BertConfig(vocab_size=64, hidden_size=16, num_hidden_layers=2,
+                     num_attention_heads=2, intermediate_size=32,
+                     max_position_embeddings=8)
+    m = BertForMaskedLM(cfg)
+    ours = m.state_dict()
+    back = BertForMaskedLM.remap_hf_state(m.export_hf_state())
+    assert set(back) == set(ours)
+    for k in ours:
+        np.testing.assert_array_equal(back[k], ours[k], err_msg=k)
+
+    path = m.save_pretrained(str(tmp_path / "bert"))
+    m2 = BertForMaskedLM(cfg)
+    state = load_torch_state_dict(open(path, "rb").read())
+    m2.load_parameters(BertForMaskedLM.remap_hf_state(state))
+    for (n1, p1), (n2, p2) in zip(m.named_parameters(), m2.named_parameters()):
+        np.testing.assert_array_equal(p1.numpy(), p2.numpy(), err_msg=n1)
+
+
+def test_gpt_hf_export_roundtrip(tmp_path):
+    from lightgrad_tpu.models.gpt import GPT, GPTConfig
+    from lightgrad_tpu.utils import load_torch_state_dict
+
+    np.random.seed(14)
+    cfg = GPTConfig(vocab_size=64, n_positions=16, n_embd=16, n_layer=2, n_head=2)
+    m = GPT(cfg)
+    ours = m.state_dict()
+    back = GPT.remap_hf_state(m.export_hf_state())
+    assert set(back) == set(ours)
+    for k in ours:
+        np.testing.assert_array_equal(back[k], ours[k], err_msg=k)
+
+    path = m.save_pretrained(str(tmp_path / "gpt"))
+    m2 = GPT(cfg)
+    state = load_torch_state_dict(open(path, "rb").read())
+    m2.load_parameters(GPT.remap_hf_state(state))
+    for (n1, p1), (n2, p2) in zip(m.named_parameters(), m2.named_parameters()):
+        np.testing.assert_array_equal(p1.numpy(), p2.numpy(), err_msg=n1)
