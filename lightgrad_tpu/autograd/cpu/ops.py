@@ -341,6 +341,26 @@ class sum(Function):
 
 
 @CpuTensor.register_op()
+class concat(Function):
+    """Concatenate tensors along ``axis`` (backward slices the gradient)."""
+
+    def forward(ctx, *ts, axis: int = -1):
+        sizes = [t.shape[axis] for t in ts]
+        ctx.save_for_backward(axis, sizes)
+        return _t(np.concatenate([t.data for t in ts], axis=axis))
+
+    def backward(ctx, g):
+        axis, sizes = ctx.get_saved_tensors()
+        outs, off = [], 0
+        idx = [slice(None)] * g.ndim
+        for s in sizes:
+            idx[axis] = slice(off, off + s)
+            outs.append(_t(g.data[tuple(idx)].copy()))
+            off += s
+        return tuple(outs)
+
+
+@CpuTensor.register_op()
 class nan_to_num(Function):
     """Replace nan/±inf (AMP grad sanitization; gradient passes through)."""
 

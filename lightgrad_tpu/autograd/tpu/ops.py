@@ -272,6 +272,24 @@ class narrow(Function):
         return (_t(jax.lax.dynamic_update_slice_in_dim(zeros, g.data, s, axis)),)
 
 
+@TpuTensor.register_op()
+class concat(Function):
+    """Concatenate tensors along ``axis`` (backward slices the gradient)."""
+
+    def forward(ctx, *ts, axis: int = -1):
+        sizes = [t.shape[axis] for t in ts]
+        ctx.save_for_backward(axis, sizes)
+        return _t(jnp.concatenate([t.data for t in ts], axis=axis))
+
+    def backward(ctx, g):
+        axis, sizes = ctx.get_saved_tensors()
+        outs, off = [], 0
+        for s in sizes:
+            outs.append(_t(jax.lax.slice_in_dim(g.data, off, off + s, axis=axis)))
+            off += s
+        return tuple(outs)
+
+
 @TpuTensor.register_op(overwrite=True)
 class pad(Function):
     """Native XLA pad (overrides the generic zeros+setitem fallback)."""

@@ -1,2 +1,3 @@
 from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
 from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
+from .llama import LlamaConfig, Llama, RMSNorm

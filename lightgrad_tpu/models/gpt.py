@@ -162,7 +162,8 @@ class GPT(nn.Module):
             if not isinstance(buf, jnp.ndarray):
                 raise _NotJaxBacked(type(buf).__name__)
             p[name] = buf
-        scale = 1.0 / np.sqrt(hd)
+        # python float (weak-typed) so bf16 models stay bf16 end to end
+        scale = float(1.0 / np.sqrt(hd))
 
         def ln(x, w, b):
             m = x.mean(-1, keepdims=True)

@@ -1,0 +1,353 @@
+"""LLaMA-family decoder: RoPE, RMSNorm, SwiGLU, grouped-query attention.
+
+Third model family (the reference ships one BERT example,
+``/root/reference/examples/bert.py``; GPT-2 was round 1's second): the
+modern decoder recipe most open checkpoints use (Llama/Mistral/Qwen-style),
+with HuggingFace checkpoint import/export and the same two decode paths as
+GPT -- fixed-window recompute on any backend, and a compiled fixed-shape
+KV-cache step (prefill ``lax.scan`` + one-token step) on jax backends.
+
+TPU-first notes: attention runs through the fused flash kernel (causal);
+GQA repeats K/V heads with a gather whose backward is a scatter-add, so the
+tape trains grouped-query models too; RoPE tables are baked per (seq, dim)
+as device constants inside compiled steps.
+"""
+
+import json
+
+import numpy as np
+
+import lightgrad_tpu.nn as nn
+from lightgrad_tpu.autograd import Tensor, no_grad
+
+__all__ = ["LlamaConfig", "Llama", "RMSNorm"]
+
+
+class LlamaConfig:
+    def __init__(self, vocab_size=32000, hidden_size=512, intermediate_size=1376,
+                 num_hidden_layers=4, num_attention_heads=8,
+                 num_key_value_heads=None, max_position_embeddings=2048,
+                 rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+                 **unused):
+        self.vocab_size = vocab_size
+        self.hidden_size = hidden_size
+        self.intermediate_size = intermediate_size
+        self.num_hidden_layers = num_hidden_layers
+        self.num_attention_heads = num_attention_heads
+        self.num_key_value_heads = num_key_value_heads or num_attention_heads
+        self.max_position_embeddings = max_position_embeddings
+        self.rms_norm_eps = rms_norm_eps
+        self.rope_theta = rope_theta
+        self.tie_word_embeddings = tie_word_embeddings
+
+
+class RMSNorm(nn.Module):
+    def __init__(self, dim: int, eps: float = 1e-5):
+        super().__init__()
+        self.weight = Tensor.ones((dim,))
+        self.eps = eps
+
+    def forward(self, x):
+        var = (x * x).mean(axis=-1, keepdims=True)
+        return x * (var + self.eps) ** -0.5 * self.weight
+
+
+def _rope_tables(seq: int, head_dim: int, theta: float):
+    """HF-convention RoPE tables: cos/sin of shape (seq, head_dim), the
+    half-frequencies tiled twice along the feature axis."""
+    freqs = 1.0 / theta ** (np.arange(0, head_dim, 2, np.float32) / head_dim)
+    ang = np.outer(np.arange(seq, dtype=np.float32), freqs)  # (s, hd/2)
+    emb = np.concatenate([ang, ang], axis=-1)               # (s, hd)
+    return np.cos(emb).astype(np.float32), np.sin(emb).astype(np.float32)
+
+
+def _apply_rope(x, cos_t, sin_t):
+    """x: (b, h, s, hd) tape tensor; cos/sin: (1, 1, s, hd) constants."""
+    hd = x.shape[-1]
+    x1 = x[..., : hd // 2]
+    x2 = x[..., hd // 2:]
+    rotated = (-x2).concat(x1, axis=-1)
+    return x * cos_t + rotated * sin_t
+
+
+class LlamaAttention(nn.Module):
+    def __init__(self, cfg: LlamaConfig):
+        super().__init__()
+        self.n_heads = cfg.num_attention_heads
+        self.n_kv = cfg.num_key_value_heads
+        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
+        self.theta = cfg.rope_theta
+        h, kvh = cfg.hidden_size, self.n_kv * self.head_dim
+        self.q_proj = nn.Linear(h, h, bias=False)
+        self.k_proj = nn.Linear(h, kvh, bias=False)
+        self.v_proj = nn.Linear(h, kvh, bias=False)
+        self.o_proj = nn.Linear(h, h, bias=False)
+
+    def forward(self, x):
+        b, s, h = x.shape
+        hd = self.head_dim
+        q = self.q_proj(x).reshape(b, s, self.n_heads, hd).transpose(0, 2, 1, 3)
+        k = self.k_proj(x).reshape(b, s, self.n_kv, hd).transpose(0, 2, 1, 3)
+        v = self.v_proj(x).reshape(b, s, self.n_kv, hd).transpose(0, 2, 1, 3)
+
+        cos_np, sin_np = _rope_tables(s, hd, self.theta)
+        cos_t = type(x).from_numpy(cos_np[None, None], requires_grad=False)
+        sin_t = type(x).from_numpy(sin_np[None, None], requires_grad=False)
+        q = _apply_rope(q, cos_t, sin_t)
+        k = _apply_rope(k, cos_t, sin_t)
+
+        if self.n_kv != self.n_heads:
+            # grouped-query attention: each KV head serves n_heads/n_kv query
+            # heads; gather fwd, scatter-add bwd
+            rep = self.n_heads // self.n_kv
+            idx = np.repeat(np.arange(self.n_kv), rep)
+            k = k[:, idx]
+            v = v[:, idx]
+
+        scale = 1.0 / np.sqrt(hd)
+        if hasattr(q, "attention"):
+            ctx = q.attention(k, v, scale=scale, causal=True)
+        else:
+            scores = (q @ k.transpose(0, 1, 3, 2)) * scale
+            mask = np.triu(np.full((s, s), -1e30, np.float32), k=1)
+            scores = scores + type(x).from_numpy(mask, requires_grad=False)
+            ctx = scores.softmax(axis=-1) @ v
+        return self.o_proj(ctx.transpose(0, 2, 1, 3).reshape(b, s, h))
+
+
+class LlamaMLP(nn.Module):
+    """SwiGLU: down(silu(gate(x)) * up(x))."""
+
+    def __init__(self, cfg: LlamaConfig):
+        super().__init__()
+        h, i = cfg.hidden_size, cfg.intermediate_size
+        self.gate_proj = nn.Linear(h, i, bias=False)
+        self.up_proj = nn.Linear(h, i, bias=False)
+        self.down_proj = nn.Linear(i, h, bias=False)
+
+    def forward(self, x):
+        g = self.gate_proj(x)
+        return self.down_proj(g.sigmoid() * g * self.up_proj(x))
+
+
+class LlamaLayer(nn.Module):
+    def __init__(self, cfg: LlamaConfig):
+        super().__init__()
+        self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        self.self_attn = LlamaAttention(cfg)
+        self.post_attention_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        self.mlp = LlamaMLP(cfg)
+
+    def forward(self, x):
+        x = x + self.self_attn(self.input_layernorm(x))
+        return x + self.mlp(self.post_attention_layernorm(x))
+
+
+class Llama(nn.Module):
+    """Causal LM with a separate (or tied) LM head."""
+
+    def __init__(self, cfg: LlamaConfig):
+        super().__init__()
+        self.cfg = cfg
+        self.embed_tokens = nn.Embedding(cfg.vocab_size, cfg.hidden_size)
+        self.layers = nn.ModuleList(*[LlamaLayer(cfg) for _ in range(cfg.num_hidden_layers)])
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        if not cfg.tie_word_embeddings:
+            self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, bias=False)
+
+    def forward(self, input_ids):
+        x = self.embed_tokens(input_ids)
+        for layer in self.layers:
+            x = layer(x)
+        x = self.norm(x)
+        if self.cfg.tie_word_embeddings:
+            return x @ self.embed_tokens.weight.T(1, 0)
+        return self.lm_head(x)
+
+    # --- generation (mirrors GPT: recompute path + compiled KV cache) ------
+    @no_grad()
+    def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
+                 rng: np.random.Generator = None, use_cache: bool = True):
+        from .gpt import _NotJaxBacked, _sample
+
+        ids = list(ids)
+        rng = rng or np.random.default_rng(0)
+        window = self.cfg.max_position_embeddings
+        if use_cache:
+            try:
+                return self._generate_kv(ids, max_new_tokens, temperature, rng)
+            except _NotJaxBacked:
+                pass
+        if not hasattr(self, "_decode_fn"):
+            from lightgrad_tpu.jit import jit as _step_jit
+
+            def _decode(x):
+                with no_grad():
+                    return self.forward(x)
+
+            self._decode_fn = _step_jit(_decode)
+        for _ in range(max_new_tokens):
+            ctx = ids[-window:]
+            padded = ctx + [0] * (window - len(ctx))
+            x = Tensor.from_numpy(np.array([padded], dtype=np.int32), requires_grad=False)
+            logits = self._decode_fn(x).numpy()[0, len(ctx) - 1]
+            ids.append(_sample(logits, temperature, rng))
+        return ids
+
+    def _kv_functions(self):
+        import jax
+        import jax.numpy as jnp
+
+        from .gpt import _NotJaxBacked
+
+        cfg = self.cfg
+        H, KV = cfg.num_attention_heads, cfg.num_key_value_heads
+        hd = cfg.hidden_size // H
+        L, W = cfg.num_hidden_layers, cfg.max_position_embeddings
+        eps = cfg.rms_norm_eps
+        p = {}
+        for name, t in self.named_parameters():
+            buf = t.data
+            if not isinstance(buf, jnp.ndarray):
+                raise _NotJaxBacked(type(buf).__name__)
+            p[name] = buf
+        # python float (weak-typed): np.float64 scalars would promote every
+        # bf16 score to f32 and poison the residual stream
+        scale = float(1.0 / np.sqrt(hd))
+        cdt = p["embed_tokens.weight"].dtype  # compute dtype (f32 or bf16)
+        cos_np, sin_np = _rope_tables(W, hd, cfg.rope_theta)
+        cos_w, sin_w = jnp.asarray(cos_np, cdt), jnp.asarray(sin_np, cdt)
+        rep = H // KV
+
+        def rms(x, w):
+            var = jnp.mean(x * x, axis=-1, keepdims=True)
+            return x * jax.lax.rsqrt(var + eps) * w
+
+        def rope1(x, pos):
+            # x: (heads, 1, hd) at a single position
+            c, s_ = cos_w[pos][None, None, :], sin_w[pos][None, None, :]
+            x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+            return x * c + jnp.concatenate([-x2, x1], axis=-1) * s_
+
+        def step(cache, pos, tok):
+            x = p["embed_tokens.weight"][tok][None, :]           # (1, d)
+            pos_mask = (jnp.arange(W) <= pos)[None, None, :]
+            for l in range(L):
+                pre = f"layers.{l}."
+                h = rms(x, p[pre + "input_layernorm.weight"])
+                q = (h @ p[pre + "self_attn.q_proj.weight"].T).reshape(H, 1, hd)
+                k = (h @ p[pre + "self_attn.k_proj.weight"].T).reshape(KV, 1, hd)
+                v = (h @ p[pre + "self_attn.v_proj.weight"].T).reshape(KV, 1, hd)
+                q, k = rope1(q, pos), rope1(k, pos)
+                kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
+                vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
+                cache = cache.at[l, 0].set(kc).at[l, 1].set(vc)
+                kr = jnp.repeat(kc, rep, axis=0) if rep > 1 else kc
+                vr = jnp.repeat(vc, rep, axis=0) if rep > 1 else vc
+                scores = jnp.einsum("hqd,hkd->hqk", q, kr) * scale
+                scores = jnp.where(pos_mask, scores, -1e30)
+                att = jax.nn.softmax(scores, axis=-1) @ vr       # (H, 1, hd)
+                att = att.transpose(1, 0, 2).reshape(1, H * hd)
+                x = x + att @ p[pre + "self_attn.o_proj.weight"].T
+                h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
+                g = h2 @ p[pre + "mlp.gate_proj.weight"].T
+                u = h2 @ p[pre + "mlp.up_proj.weight"].T
+                x = x + (jax.nn.silu(g) * u) @ p[pre + "mlp.down_proj.weight"].T
+            x = rms(x, p["norm.weight"])
+            head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
+                    else p["lm_head.weight"])
+            return cache, (x @ head.T)[0]
+
+        def init_cache():
+            return jnp.zeros((L, 2, KV, W, hd), dtype=p["embed_tokens.weight"].dtype)
+
+        @jax.jit
+        def prefill(cache, toks, n_real):
+            def body(c, inp):
+                pos, tok = inp
+                c, logits = step(c, pos, tok)
+                return c, logits
+
+            n = toks.shape[0]
+            cache, all_logits = jax.lax.scan(
+                body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
+            return cache, all_logits[n_real - 1]
+
+        return init_cache, prefill, jax.jit(step)
+
+    def _generate_kv(self, ids, max_new_tokens, temperature, rng):
+        import jax.numpy as jnp
+
+        from .gpt import _sample
+
+        W = self.cfg.max_position_embeddings
+        assert len(ids) + max_new_tokens <= W, (
+            f"KV-cache decode needs prompt+new <= max_position_embeddings "
+            f"({len(ids)}+{max_new_tokens} > {W}); use use_cache=False")
+        if not hasattr(self, "_kv_fns"):
+            self._kv_fns = self._kv_functions()
+        init_cache, prefill, step = self._kv_fns
+        cache = init_cache()
+        toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
+        cache, logits = prefill(cache, toks, len(ids))
+        out = list(ids)
+        out.append(_sample(np.asarray(logits), temperature, rng))
+        for _ in range(max_new_tokens - 1):
+            pos = jnp.int32(len(out) - 1)
+            cache, logits = step(cache, pos, jnp.int32(out[-1]))
+            out.append(_sample(np.asarray(logits), temperature, rng))
+        return out
+
+    # --- HF interop ---------------------------------------------------------
+    @staticmethod
+    def remap_hf_state(state: dict) -> dict:
+        out = {}
+        for name, arr in state.items():
+            name = name.removeprefix("model.")
+            if name.endswith(".rotary_emb.inv_freq"):
+                continue  # recomputed
+            out[name] = arr
+        return out
+
+    def export_hf_state(self) -> dict:
+        out = {}
+        for name, arr in self.state_dict().items():
+            hf = name if name.startswith("lm_head.") else "model." + name
+            out[hf] = arr
+        return out
+
+    @staticmethod
+    def from_pretrained(name: str):
+        from lightgrad_tpu.utils import fetch, load_torch_state_dict
+
+        url = f"https://huggingface.co/{name}/resolve/main/"
+        cfg = LlamaConfig(**json.loads(fetch(url + "config.json")))
+        model = Llama(cfg)
+        state = load_torch_state_dict(fetch(url + "pytorch_model.bin"))
+        model.load_parameters(Llama.remap_hf_state(state))
+        return model, cfg
+
+    def save_pretrained(self, directory: str) -> str:
+        import os
+
+        from lightgrad_tpu.utils import save_torch_state_dict
+
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, "pytorch_model.bin")
+        save_torch_state_dict(self.export_hf_state(), path)
+        cfg = {
+            "model_type": "llama",
+            "vocab_size": self.cfg.vocab_size,
+            "hidden_size": self.cfg.hidden_size,
+            "intermediate_size": self.cfg.intermediate_size,
+            "num_hidden_layers": self.cfg.num_hidden_layers,
+            "num_attention_heads": self.cfg.num_attention_heads,
+            "num_key_value_heads": self.cfg.num_key_value_heads,
+            "max_position_embeddings": self.cfg.max_position_embeddings,
+            "rms_norm_eps": self.cfg.rms_norm_eps,
+            "rope_theta": self.cfg.rope_theta,
+            "tie_word_embeddings": self.cfg.tie_word_embeddings,
+        }
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(cfg, f, indent=1)
+        return path

@@ -136,16 +136,28 @@ class Linear(Module):
 
 
 class Conv2d(Module):
+    """2-D convolution.  ``pad`` accepts an int (symmetric), a ``(lo, hi)``
+    pair (asymmetric), or the strings ``"same"`` (stride-1 output size ==
+    input size, correct for even kernels too) / ``"valid"`` (no padding)."""
+
     def __init__(self, in_channels: int, out_channels: int, kernelsize: int = 3,
-                 stride: int = 1, pad: int = None, bias: bool = True):
+                 stride: int = 1, pad=None, bias: bool = True):
         super().__init__()
         self.w = Tensor.xavier((out_channels, in_channels, kernelsize, kernelsize))
         self.b = Tensor.xavier((1, out_channels, 1, 1)) if bias else None
         self.s = stride
-        self.p = (kernelsize // 2) if pad is None else pad
+        if pad is None:
+            pad = kernelsize // 2
+        if pad == "same":
+            pad = ((kernelsize - 1) // 2, kernelsize // 2)
+        elif pad == "valid":
+            pad = 0
+        assert isinstance(pad, (int, tuple)), f"bad pad spec {pad!r}"
+        self.p = pad
 
     def forward(self, x):
-        y = (x.pad(self.p) if self.p > 0 else x).conv(self.w, strides=self.s)
+        needs_pad = self.p != 0 and self.p != (0, 0)
+        y = (x.pad(self.p) if needs_pad else x).conv(self.w, strides=self.s)
         return y + self.b if self.b is not None else y
 
 

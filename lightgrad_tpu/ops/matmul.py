@@ -189,6 +189,10 @@ def _route(a, b):
     tag = ("bf16" if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
            else f"f32_{_PRECISION}")
     n = min(a.shape[-2], a.shape[-1], b.shape[-1])
+    if n < 256:
+        # below the measured regime: dispatch/pipeline-bound, and Mosaic
+        # rejects some tiny bf16 tiles ("Bad rhs type") -- XLA always
+        return "xla", None
     bucket = min(_BUCKETS, key=lambda c: abs(c - n))
     choice = _policy().get(tag, {}).get(str(bucket))
     if choice and choice.get("impl") == "pallas":

@@ -3,3 +3,4 @@ from .shard import (shard_module, shard_tensor, partition_rules,
                     BERT_TP_RULES, MOE_EP_RULES, enable_sequence_parallel)
 from .pipeline import pipeline_apply
 from .ring_attention import ring_attention, ring_attention_sharded
+from . import distributed

@@ -416,3 +416,40 @@ def test_interleaved_pipeline_gradients():
     gs = jax.grad(loss_seq)(w)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_distributed_single_host_noop():
+    """Multi-host init degrades to a no-op on one process; distribute_batch
+    equals device_put there, so data code is portable."""
+    from lightgrad_tpu.parallel import distributed, make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    assert distributed.initialize() is False  # no coordinator configured
+    assert distributed.process_count() == 1
+    assert distributed.process_index() == 0
+    if len(jax.devices()) >= 8:
+        mesh = make_mesh(dp=4, tp=2)
+        x = np.arange(32, dtype=np.float32).reshape(8, 4)
+        g = distributed.distribute_batch(mesh, x, P("dp", None))
+        np.testing.assert_array_equal(np.asarray(g), x)
+        assert len(g.addressable_shards) == 8
+
+
+def test_conv2d_padding_modes():
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(15)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (2, 3, 9, 9)).astype(np.float32),
+        requires_grad=False)
+    # "same" (stride 1): output spatial dims == input, odd and even kernels
+    for k in (3, 4):
+        conv = nn.Conv2d(3, 5, kernelsize=k, pad="same")
+        assert conv(x).shape == (2, 5, 9, 9), (k, conv(x).shape)
+    # "valid": no padding
+    conv = nn.Conv2d(3, 5, kernelsize=3, pad="valid")
+    assert conv(x).shape == (2, 5, 7, 7)
+    # asymmetric pair
+    conv = nn.Conv2d(3, 5, kernelsize=3, pad=(0, 2))
+    assert conv(x).shape == (2, 5, 9, 9)
