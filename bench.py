@@ -186,18 +186,58 @@ def bench_bert_layer(iters=20, batch=8, seq=128, dtype=None):
     return dt, vals, gf
 
 
-def bench_attention_long(iters=10, bh=96, s=2048, d=64):
+def bench_attention_long(iters=10, bh=96, s=2048, d=64, dtype=None):
     """Fused flash attention fwd+bwd at long sequence (auto mode routes to
     the Pallas kernels here; the materialized path OOMs at s=4096)."""
     np.random.seed(0)
     q = light.uniform(-1, 1, (bh, s, d))
     k = light.uniform(-1, 1, (bh, s, d))
     v = light.uniform(-1, 1, (bh, s, d))
+    if dtype is not None:
+        q, k, v = (t.astype(dtype).detach()._set_requires_grad(True)
+                   for t in (q, k, v))
     scale = 1.0 / np.sqrt(d)
     flops = 4 * bh * s * s * d * 3.5  # fwd + ~2.5x bwd
     return _fwd_bwd_bench(
         lambda: (lambda y: y * y)(q.attention(k, v, scale=scale)),
         (q, k, v), flops, iters)
+
+
+def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
+    """End-to-end GPT-2-small-class training step under master-weight AMP
+    (bf16 compute, f32 masters): the production configuration.  Reports
+    tokens/s and MFU using the 6*N*T transformer-FLOPs rule."""
+    import jax.numpy as jnp
+    from lightgrad_tpu.models.gpt import GPT, GPTConfig
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=50304, n_positions=seq, n_embd=768,
+                    n_layer=12, n_head=12)
+    model = GPT(cfg)
+    mp = light.amp.MixedPrecision(model, lambda ps: light.optim.Adam(ps, lr=3e-4))
+    n_params = sum(p.numel() for p in model.parameters())
+
+    rng = np.random.default_rng(0)
+    ids = TpuTensor.from_numpy(
+        rng.integers(0, cfg.vocab_size, (batch, seq)).astype(np.int32),
+        requires_grad=False)
+    tgt = TpuTensor.from_numpy(
+        rng.integers(0, cfg.vocab_size, (batch * seq,)).astype(np.int32),
+        requires_grad=False)
+
+    def step():
+        logits = model(ids).reshape(batch * seq, cfg.vocab_size)
+        loss = light.loss.cross_entropy(logits, tgt)
+        mp.zero_grad()
+        loss.backward()
+        mp.step()
+        return loss
+
+    fn = light.jit(step)
+    dt, vals = time_median(lambda: fn().data, iters=iters, repeats=repeats)
+    toks = batch * seq
+    flops = 6 * n_params * toks  # fwd (2NT) + bwd (4NT)
+    return dt, vals, toks / dt, flops / dt, n_params
 
 
 def main():
@@ -266,6 +306,23 @@ def main():
     details["flash_attention_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"flash attention fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['flash_attention_s2048_mfu']})")
+
+    dt, runs, gf = bench_attention_long(dtype=jnp.bfloat16)
+    details["flash_attention_bf16_s2048_fwdbwd_s"] = round(dt, 5)
+    details["flash_attention_bf16_s2048_runs"] = runs
+    details["flash_attention_bf16_s2048_gflops"] = round(gf, 1)
+    details["flash_attention_bf16_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+    err(f"flash attention bf16 fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
+        f"(mfu {details['flash_attention_bf16_s2048_mfu']})")
+
+    dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
+    details["gpt2s_amp_train_step_s"] = round(dt, 5)
+    details["gpt2s_amp_train_runs"] = runs
+    details["gpt2s_amp_tokens_per_s"] = round(tok_s, 1)
+    details["gpt2s_amp_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
+    details["gpt2s_params"] = int(n_params)
+    err(f"GPT2-small ({n_params/1e6:.0f}M) AMP train 8x512: {dt*1e3:.1f}ms/step = "
+        f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, mfu {details['gpt2s_amp_mfu']})")
 
     # baseline: reference CPU measured on this host
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

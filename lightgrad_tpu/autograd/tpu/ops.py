@@ -242,7 +242,9 @@ class getitem(Function):
 
     def backward(ctx, g):
         shape, dtype, idx = ctx.get_saved_tensors()
-        out = jnp.zeros(shape, dtype=dtype).at[idx].add(g.data)
+        # cast explicitly: scattering an f32 grad into a bf16 zeros buffer
+        # relies on deprecated implicit demotion
+        out = jnp.zeros(shape, dtype=dtype).at[idx].add(g.data.astype(dtype))
         return _t(out)
 
 

@@ -21,12 +21,26 @@ class _NotJaxBacked(TypeError):
     """Parameters are not jax arrays; KV-cache decode unavailable."""
 
 
-def _sample(logits: np.ndarray, temperature: float, rng) -> int:
+def _sample(logits: np.ndarray, temperature: float, rng,
+            top_k: int = 0, top_p: float = 0.0) -> int:
+    """Greedy (temperature<=0) or temperature sampling, optionally truncated
+    to the top-k logits and/or the top-p (nucleus) probability mass."""
+    logits = np.asarray(logits, np.float32)
     if temperature <= 0:
         return int(np.argmax(logits))
+    if top_k and top_k < len(logits):
+        kth = np.partition(logits, -top_k)[-top_k]
+        logits = np.where(logits < kth, -np.inf, logits)
     z = (logits - logits.max()) / temperature
     prob = np.exp(z)
     prob /= prob.sum()
+    if 0.0 < top_p < 1.0:
+        order = np.argsort(-prob)
+        keep_sorted = np.cumsum(prob[order]) - prob[order] < top_p  # always >=1
+        keep = np.zeros_like(prob, dtype=bool)
+        keep[order[keep_sorted]] = True
+        prob = np.where(keep, prob, 0.0)
+        prob /= prob.sum()
     return int(rng.choice(len(prob), p=prob))
 
 
@@ -104,7 +118,8 @@ class GPT(nn.Module):
 
     @no_grad()
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
-                 rng: np.random.Generator = None, use_cache: bool = True):
+                 rng: np.random.Generator = None, use_cache: bool = True,
+                 top_k: int = 0, top_p: float = 0.0):
         """Autoregressive decode; greedy when ``temperature=0``.
 
         ``use_cache=True`` (default, jax-backed tensors only): incremental
@@ -123,7 +138,8 @@ class GPT(nn.Module):
         window = self.cfg.n_positions
         if use_cache:
             try:
-                return self._generate_kv(ids, max_new_tokens, temperature, rng)
+                return self._generate_kv(ids, max_new_tokens, temperature, rng,
+                                         top_k=top_k, top_p=top_p)
             except _NotJaxBacked:
                 pass  # non-jax backend (e.g. CPU oracle tensors): recompute
         if not hasattr(self, "_decode_fn"):
@@ -139,7 +155,7 @@ class GPT(nn.Module):
             padded = ctx + [0] * (window - len(ctx))
             x = Tensor.from_numpy(np.array([padded], dtype=np.int32), requires_grad=False)
             logits = self._decode_fn(x).numpy()[0, len(ctx) - 1]
-            ids.append(_sample(logits, temperature, rng))
+            ids.append(_sample(logits, temperature, rng, top_k=top_k, top_p=top_p))
         return ids
 
     # --- KV-cache incremental decoding (jax path) --------------------------
@@ -217,7 +233,8 @@ class GPT(nn.Module):
         step_jit = jax.jit(step)
         return init_cache, prefill, step_jit
 
-    def _generate_kv(self, ids, max_new_tokens, temperature, rng):
+    def _generate_kv(self, ids, max_new_tokens, temperature, rng,
+                     top_k: int = 0, top_p: float = 0.0):
         import jax.numpy as jnp
 
         W = self.cfg.n_positions
@@ -235,11 +252,13 @@ class GPT(nn.Module):
         toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
         cache, logits = prefill(cache, toks, len(ids))
         out = list(ids)
-        out.append(_sample(np.asarray(logits), temperature, rng))
+        out.append(_sample(np.asarray(logits), temperature, rng,
+                           top_k=top_k, top_p=top_p))
         for _ in range(max_new_tokens - 1):
             pos = jnp.int32(len(out) - 1)
             cache, logits = step(cache, pos, jnp.int32(out[-1]))
-            out.append(_sample(np.asarray(logits), temperature, rng))
+            out.append(_sample(np.asarray(logits), temperature, rng,
+                           top_k=top_k, top_p=top_p))
         return out
 
     @staticmethod

@@ -167,7 +167,8 @@ class Llama(nn.Module):
     # --- generation (mirrors GPT: recompute path + compiled KV cache) ------
     @no_grad()
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
-                 rng: np.random.Generator = None, use_cache: bool = True):
+                 rng: np.random.Generator = None, use_cache: bool = True,
+                 top_k: int = 0, top_p: float = 0.0):
         from .gpt import _NotJaxBacked, _sample
 
         ids = list(ids)
@@ -175,7 +176,8 @@ class Llama(nn.Module):
         window = self.cfg.max_position_embeddings
         if use_cache:
             try:
-                return self._generate_kv(ids, max_new_tokens, temperature, rng)
+                return self._generate_kv(ids, max_new_tokens, temperature, rng,
+                                         top_k=top_k, top_p=top_p)
             except _NotJaxBacked:
                 pass
         if not hasattr(self, "_decode_fn"):
@@ -191,7 +193,7 @@ class Llama(nn.Module):
             padded = ctx + [0] * (window - len(ctx))
             x = Tensor.from_numpy(np.array([padded], dtype=np.int32), requires_grad=False)
             logits = self._decode_fn(x).numpy()[0, len(ctx) - 1]
-            ids.append(_sample(logits, temperature, rng))
+            ids.append(_sample(logits, temperature, rng, top_k=top_k, top_p=top_p))
         return ids
 
     def _kv_functions(self):
@@ -275,7 +277,8 @@ class Llama(nn.Module):
 
         return init_cache, prefill, jax.jit(step)
 
-    def _generate_kv(self, ids, max_new_tokens, temperature, rng):
+    def _generate_kv(self, ids, max_new_tokens, temperature, rng,
+                     top_k: int = 0, top_p: float = 0.0):
         import jax.numpy as jnp
 
         from .gpt import _sample
@@ -291,11 +294,13 @@ class Llama(nn.Module):
         toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
         cache, logits = prefill(cache, toks, len(ids))
         out = list(ids)
-        out.append(_sample(np.asarray(logits), temperature, rng))
+        out.append(_sample(np.asarray(logits), temperature, rng,
+                           top_k=top_k, top_p=top_p))
         for _ in range(max_new_tokens - 1):
             pos = jnp.int32(len(out) - 1)
             cache, logits = step(cache, pos, jnp.int32(out[-1]))
-            out.append(_sample(np.asarray(logits), temperature, rng))
+            out.append(_sample(np.asarray(logits), temperature, rng,
+                           top_k=top_k, top_p=top_p))
         return out
 
     # --- HF interop ---------------------------------------------------------

@@ -28,10 +28,20 @@ _NEG_INF = -1e30
 _PREC = jax.lax.Precision.HIGHEST  # MXU defaults to bf16 passes otherwise
 
 
+def _prec_for(*args):
+    """f32 inputs: HIGHEST (full-precision MXU passes).  bf16 inputs:
+    DEFAULT -- the MXU consumes bf16 natively, and HIGHEST on bf16 operands
+    crashes the Mosaic compiler on this host (measured round 2)."""
+    if all(a.dtype == jnp.bfloat16 for a in args):
+        return jax.lax.Precision.DEFAULT
+    return _PREC
+
+
 def _dot(a, b, ta=False, tb=False):
     dims = (((0,) if ta else (1,), (1,) if tb else (0,)), ((), ()))
     return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32, precision=_PREC
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=_prec_for(a, b),
     )
 
 
@@ -242,11 +252,12 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False):
     b = prod(shape[:-2])
     q3, k3, v3 = (x.reshape(b, s, d) for x in (q, k, v))
     if mode == "xla":
-        scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_PREC) * scale
+        scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
         if causal:
             scores = scores + _causal_mask(s)
         out = jnp.einsum(
-            "bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), v3, precision=_PREC
+            "bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), v3,
+            precision=_prec_for(v3),
         ).reshape(shape)
         if not with_res:
             return out
@@ -266,15 +277,15 @@ def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False):
                                 scale, causal)
         return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
     # recompute path (one fused XLA program)
-    scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_PREC) * scale
+    scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
     if causal:
         scores = scores + _causal_mask(s)
     p = jax.nn.softmax(scores, axis=-1)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_PREC)
-    dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_PREC)
+    dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_prec_for(g3))
+    dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_prec_for(g3, v3))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k3, precision=_PREC) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q3, precision=_PREC) * scale
+    dq = jnp.einsum("bqk,bkd->bqd", ds, k3, precision=_prec_for(k3)) * scale
+    dk = jnp.einsum("bqk,bqd->bkd", ds, q3, precision=_prec_for(q3)) * scale
     return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
 
 

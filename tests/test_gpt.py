@@ -159,3 +159,27 @@ def test_kv_cache_window_guard():
     # recompute path slides the window instead
     out = model.generate([1, 2, 3, 4], max_new_tokens=10, use_cache=False)
     assert len(out) == 14
+
+
+def test_sampling_topk_topp():
+    from lightgrad_tpu.models.gpt import _sample
+
+    logits = np.array([0.0, 1.0, 2.0, 10.0, -5.0], np.float32)
+    rng = np.random.default_rng(0)
+    # greedy ignores truncation knobs
+    assert _sample(logits, 0.0, rng, top_k=1, top_p=0.5) == 3
+    # top_k=1 == greedy even at high temperature
+    assert all(_sample(logits, 5.0, rng, top_k=1) == 3 for _ in range(8))
+    # top_p tiny keeps only the argmax nucleus
+    assert all(_sample(logits, 1.0, rng, top_p=1e-6) == 3 for _ in range(8))
+    # top_k=2 restricts draws to the two best ids
+    draws = {_sample(logits, 2.0, rng, top_k=2) for _ in range(64)}
+    assert draws <= {2, 3} and 3 in draws
+    # plumbed through generate on both paths
+    cfg = GPTConfig(vocab_size=31, n_positions=16, n_embd=16, n_layer=1, n_head=2)
+    m = GPT(cfg)
+    a = m.generate([1, 2], max_new_tokens=6, temperature=0.8, top_k=4,
+                   rng=np.random.default_rng(3), use_cache=True)
+    b = m.generate([1, 2], max_new_tokens=6, temperature=0.8, top_k=4,
+                   rng=np.random.default_rng(3), use_cache=False)
+    assert a == b

@@ -255,3 +255,29 @@ def test_flash_causal_fwd_matches_xla():
     np.testing.assert_allclose(
         np.asarray(lse).squeeze(-1), np.asarray(wlse).squeeze(-1), rtol=1e-5, atol=1e-5
     )
+
+
+def test_flash_attention_bf16():
+    """bf16 flash fwd+bwd run (DEFAULT MXU precision -- HIGHEST on bf16
+    operands crashes Mosaic on silicon) and match the bf16 XLA path at
+    bf16-appropriate tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from lightgrad_tpu.ops.attention import _flash_fwd, _flash_bwd, _attn_fwd_impl
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(0, 0.5, (2, 256, 64)), dtype=jnp.bfloat16)
+               for _ in range(3))
+    scale = 0.125
+    out, lse = jax.jit(lambda a, b, c: _flash_fwd(a, b, c, scale, False))(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    want = _attn_fwd_impl(q, k, v, scale, mode="xla", causal=False)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32),
+        rtol=5e-2, atol=3e-2)
+    g = jnp.ones_like(out)
+    dq, dk, dv = jax.jit(
+        lambda g, a, b, c, o, l: _flash_bwd(g, a, b, c, o, l, scale, False)
+    )(g, q, k, v, out, lse)
+    assert dq.dtype == jnp.bfloat16
+    assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in (dq, dk, dv))
