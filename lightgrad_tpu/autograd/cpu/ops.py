@@ -419,35 +419,69 @@ _KERNEL = "uvw"
 
 @CpuTensor.register_op()
 class conv(Function):
-    """N-D convolution: x ``(B, Cin, *S)``, w ``(Cout, Cin, *K)``, int/tuple strides."""
+    """N-D convolution: x ``(B, Cin, *S)``, w ``(Cout, Cin/g, *K)``;
+    int/tuple strides and dilation, grouped channels via ``groups``."""
 
-    def forward(ctx, x, w, strides=1):
+    def forward(ctx, x, w, strides=1, dilation=1, groups=1):
         xd, wd = x.data, w.data
         n = wd.ndim - 2
         s = (strides,) * n if isinstance(strides, int) else tuple(strides)
+        dl = (dilation,) * n if isinstance(dilation, int) else tuple(dilation)
         ksize = wd.shape[2:]
-        # windows: (B, Cin, *S_out_full, *K) then subsample by stride
-        win = np.lib.stride_tricks.sliding_window_view(xd, ksize, axis=tuple(range(2, 2 + n)))
-        win = win[(slice(None), slice(None)) + tuple(slice(None, None, st) for st in s)]
+        # windows over the dilated footprint, then pick every dl-th tap and
+        # every s-th output position: (B, Cin, *S_out, *K)
+        k_eff = tuple((k - 1) * d + 1 for k, d in zip(ksize, dl))
+        win = np.lib.stride_tricks.sliding_window_view(xd, k_eff, axis=tuple(range(2, 2 + n)))
+        win = win[(slice(None), slice(None))
+                  + tuple(slice(None, None, st) for st in s)
+                  + tuple(slice(None, None, d) for d in dl)]
         sp, k = _SPATIAL[:n], _KERNEL[:n]
-        out = np.einsum(f"bc{sp}{k},oc{k}->bo{sp}", win, wd)
-        ctx.save_for_backward(xd.shape, wd, win, s)
+        if groups == 1:
+            out = np.einsum(f"bc{sp}{k},oc{k}->bo{sp}", win, wd)
+        else:
+            cg, og = xd.shape[1] // groups, wd.shape[0] // groups
+            out = np.concatenate([
+                np.einsum(f"bc{sp}{k},oc{k}->bo{sp}",
+                          win[:, gi * cg:(gi + 1) * cg],
+                          wd[gi * og:(gi + 1) * og])
+                for gi in range(groups)
+            ], axis=1)
+        ctx.save_for_backward(xd.shape, wd, win, s, dl, groups)
         return _t(np.ascontiguousarray(out))
 
     def backward(ctx, g):
-        x_shape, wd, win, s = ctx.get_saved_tensors()
+        x_shape, wd, win, s, dl, groups = ctx.get_saved_tensors()
         go = g.data
         n = wd.ndim - 2
         sp, k = _SPATIAL[:n], _KERNEL[:n]
+        cg, og = x_shape[1] // groups, wd.shape[0] // groups
         # weight gradient: correlate output grad with the input windows
-        gw = np.einsum(f"bo{sp},bc{sp}{k}->oc{k}", go, win)
+        if groups == 1:
+            gw = np.einsum(f"bo{sp},bc{sp}{k}->oc{k}", go, win)
+        else:
+            gw = np.concatenate([
+                np.einsum(f"bo{sp},bc{sp}{k}->oc{k}",
+                          go[:, gi * og:(gi + 1) * og],
+                          win[:, gi * cg:(gi + 1) * cg])
+                for gi in range(groups)
+            ], axis=0)
         # input gradient: scatter-add each kernel tap's contribution back
         gx = np.zeros(x_shape, dtype=go.dtype)
         out_sp = go.shape[2:]
         for kidx in np.ndindex(*wd.shape[2:]):
-            contrib = np.einsum(f"bo{sp},oc->bc{sp}", go, wd[(slice(None), slice(None)) + kidx])
+            wtap = wd[(slice(None), slice(None)) + kidx]  # (Cout, Cin/g)
+            if groups == 1:
+                contrib = np.einsum(f"bo{sp},oc->bc{sp}", go, wtap)
+            else:
+                contrib = np.concatenate([
+                    np.einsum(f"bo{sp},oc->bc{sp}",
+                              go[:, gi * og:(gi + 1) * og],
+                              wtap[gi * og:(gi + 1) * og])
+                    for gi in range(groups)
+                ], axis=1)
             dst = tuple(
-                slice(ki, ki + st * od, st) for ki, st, od in zip(kidx, s, out_sp)
+                slice(ki * d, ki * d + st * od, st)
+                for ki, st, d, od in zip(kidx, s, dl, out_sp)
             )
             gx[(slice(None), slice(None)) + dst] += contrib
         return _t(gx), _t(gw)

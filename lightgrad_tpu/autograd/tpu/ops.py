@@ -404,13 +404,13 @@ class cumsum(Function):
 # ---------------------------------------------------------------------------
 @TpuTensor.register_op()
 class conv(Function):
-    def forward(ctx, x, w, strides=1):
-        ctx.save_for_backward(x.data, w.data, strides)
-        return _t(kconv_fwd(x.data, w.data, strides))
+    def forward(ctx, x, w, strides=1, dilation=1, groups=1):
+        ctx.save_for_backward(x.data, w.data, strides, dilation, groups)
+        return _t(kconv_fwd(x.data, w.data, strides, dilation, groups))
 
     def backward(ctx, g):
-        xd, wd, strides = ctx.get_saved_tensors()
-        gx, gw = kconv_bwd(g.data, xd, wd, strides)
+        xd, wd, strides, dilation, groups = ctx.get_saved_tensors()
+        gx, gw = kconv_bwd(g.data, xd, wd, strides, dilation, groups)
         return _t(gx), _t(gw)
 
 

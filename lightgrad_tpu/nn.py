@@ -138,18 +138,26 @@ class Linear(Module):
 class Conv2d(Module):
     """2-D convolution.  ``pad`` accepts an int (symmetric), a ``(lo, hi)``
     pair (asymmetric), or the strings ``"same"`` (stride-1 output size ==
-    input size, correct for even kernels too) / ``"valid"`` (no padding)."""
+    input size, correct for even kernels too) / ``"valid"`` (no padding).
+    ``dilation`` spaces the kernel taps; ``groups`` splits channels into
+    independent convolutions (``in_channels`` and ``out_channels`` must both
+    be divisible by it)."""
 
     def __init__(self, in_channels: int, out_channels: int, kernelsize: int = 3,
-                 stride: int = 1, pad=None, bias: bool = True):
+                 stride: int = 1, pad=None, bias: bool = True,
+                 dilation: int = 1, groups: int = 1):
         super().__init__()
-        self.w = Tensor.xavier((out_channels, in_channels, kernelsize, kernelsize))
+        assert in_channels % groups == 0 and out_channels % groups == 0, \
+            f"groups={groups} must divide channels ({in_channels}, {out_channels})"
+        self.w = Tensor.xavier(
+            (out_channels, in_channels // groups, kernelsize, kernelsize))
         self.b = Tensor.xavier((1, out_channels, 1, 1)) if bias else None
-        self.s = stride
+        self.s, self.d, self.g = stride, dilation, groups
+        k_eff = (kernelsize - 1) * dilation + 1
         if pad is None:
-            pad = kernelsize // 2
+            pad = k_eff // 2
         if pad == "same":
-            pad = ((kernelsize - 1) // 2, kernelsize // 2)
+            pad = ((k_eff - 1) // 2, k_eff // 2)
         elif pad == "valid":
             pad = 0
         assert isinstance(pad, (int, tuple)), f"bad pad spec {pad!r}"
@@ -157,7 +165,8 @@ class Conv2d(Module):
 
     def forward(self, x):
         needs_pad = self.p != 0 and self.p != (0, 0)
-        y = (x.pad(self.p) if needs_pad else x).conv(self.w, strides=self.s)
+        y = (x.pad(self.p) if needs_pad else x).conv(
+            self.w, strides=self.s, dilation=self.d, groups=self.g)
         return y + self.b if self.b is not None else y
 
 
