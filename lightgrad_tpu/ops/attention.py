@@ -104,13 +104,17 @@ def _attn_blocks(s):
     return bq, min(bk, 2048)
 
 
-def _flash_fwd(q, k, v, scale, causal):
-    """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1))."""
+def _flash_fwd(q, k, v, scale, causal, vma=None):
+    """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1)).
+
+    ``vma``: mesh axes the outputs vary over -- required when called inside
+    a vma-checked ``shard_map`` (ring attention blocks)."""
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
     row = lambda h, i, j: (h, i, 0)
     col = lambda h, i, j: (h, j, 0)
+    sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
         grid=(b, nq, nk),
@@ -124,8 +128,8 @@ def _flash_fwd(q, k, v, scale, causal):
             pl.BlockSpec((1, bq, 1), row, memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, s, d), q.dtype),
-            jax.ShapeDtypeStruct((b, s, 1), jnp.float32),
+            sds((b, s, d), q.dtype),
+            sds((b, s, 1), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((bq, 1), jnp.float32),
@@ -191,25 +195,30 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _flash_bwd(g, q, k, v, out, lse, scale, causal):
+def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
-    # D_i = rowsum(dO * O): one cheap fused elementwise+reduce in XLA
+    # D_i = rowsum(dO * O): one cheap fused elementwise+reduce in XLA.
+    # When the caller also consumes the lse output (blockwise/ring merges),
+    # its cotangent enters every score as ds += p * dlse, i.e. D -> D - dlse.
     dcap = jnp.sum(g * out, axis=-1, keepdims=True).astype(jnp.float32)
+    if dlse is not None:
+        dcap = dcap - dlse.astype(jnp.float32)
 
     row = lambda h, i, j: (h, i, 0)
     col = lambda h, i, j: (h, j, 0)
     row_spec = lambda w: pl.BlockSpec((1, bq, w), row, memory_space=pltpu.VMEM)
     col_spec = lambda w: pl.BlockSpec((1, bk, w), col, memory_space=pltpu.VMEM)
 
+    sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
         grid=(b, nq, nk),
         in_specs=[row_spec(d), col_spec(d), col_spec(d), row_spec(d),
                   row_spec(1), row_spec(1)],
         out_specs=row_spec(d),
-        out_shape=jax.ShapeDtypeStruct((b, s, d), q.dtype),
+        out_shape=sds((b, s, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=INTERPRET,
     )(q, k, v, g, lse, dcap)
@@ -225,8 +234,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal):
         in_specs=[q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1), q_spec(1)],
         out_specs=[k_spec(d), k_spec(d)],
         out_shape=[
-            jax.ShapeDtypeStruct((b, s, d), k.dtype),
-            jax.ShapeDtypeStruct((b, s, d), v.dtype),
+            sds((b, s, d), k.dtype),
+            sds((b, s, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, d), jnp.float32),
@@ -316,3 +325,36 @@ def attention_bwd(g, q, k, v, scale: float, causal: bool = False,
                   out=None, lse=None):
     mode = resolve_mode("attention", seq=q.shape[-2])
     return _build("bwd", float(scale), mode, causal)(g, q, k, v, out, lse)
+
+
+# ---------------------------------------------------------------------------
+# differentiable flash block: one (Q, K-chunk) flash pass returning (out, lse)
+# with a custom VJP that also propagates the LSE cotangent.  This is the
+# composable unit for blockwise/ring attention (parallel/ring_attention.py):
+# the merge math consumes lse, so d_lse != 0 there -- handled by the
+# dcap -> dcap - dlse shift in _flash_bwd.
+# ---------------------------------------------------------------------------
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_block(q, k, v, scale, causal, vma=None):
+    """(B, sq, D) x (B, sk, D) -> (out (B, sq, D), lse (B, sq, 1)).
+
+    Differentiable in q/k/v including through the lse output.  ``vma``
+    (hashable, e.g. frozenset of axis names) marks the mesh axes the
+    outputs vary over when called inside a vma-checked ``shard_map``."""
+    return _flash_fwd(q, k, v, scale, causal, vma=vma)
+
+
+def _flash_block_fwd(q, k, v, scale, causal, vma):
+    out, lse = _flash_fwd(q, k, v, scale, causal, vma=vma)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_block_bwd(scale, causal, vma, res, cts):
+    q, k, v, out, lse = res
+    g, glse = cts
+    dq, dk, dv = _flash_bwd(g.astype(q.dtype), q, k, v, out, lse,
+                            scale, causal, dlse=glse, vma=vma)
+    return dq, dk, dv
+
+
+flash_block.defvjp(_flash_block_fwd, _flash_block_bwd)

@@ -9,8 +9,23 @@ the ``sp`` ring via ``ppermute`` (one neighbor hop per step, riding ICI),
 while each device's resident Q attends to every chunk with an online-softmax
 merge -- the blockwise/ring attention scheme (Liu et al., 2023).
 
-Per-device memory is O(s_local^2) for one round's scores (not O(s^2)), HBM
-traffic per step is one (s_local, d) K/V block, and the python ring loop is
+Each ring round is one *block*: a (Q_resident, K/V_chunk) attention pass
+returning a normalized partial output plus its log-sum-exp, merged across
+rounds with the standard (out, lse) combine.  Two block backends:
+
+* ``pallas`` -- the flash kernel (``ops/attention.flash_block``): O(s_local)
+  VMEM per round, scores never reach HBM.  Differentiable through the lse
+  output (custom VJP with the dcap - dlse shift).
+* ``xla``    -- fused einsum + softmax: O(s_local^2) scores per round, the
+  right choice below the flash crossover (~1k rows).
+
+Causal masking exploits the ring structure instead of per-element offset
+masks: round 0 always holds the device's own (diagonal) chunk -> local
+causal mask; later rounds hold a chunk strictly before or strictly after
+the resident rows -> full attention or a skipped round (``lax.cond``), so
+a causal ring does ~half the FLOPs of a full one, in both block modes.
+
+HBM traffic per round is one (s_local, d) K/V block; the python ring loop is
 statically unrolled (mesh sizes are static), so reverse-mode autodiff works
 end to end -- the transpose of ``ppermute`` is the reverse rotation, giving
 the communication-optimal ring backward for free.
@@ -33,25 +48,53 @@ _NEG_INF = -1e30
 _PREC = jax.lax.Precision.HIGHEST
 
 
-def _block_scores(q, k, scale, row0, col0, s_local, causal):
-    """(B, sq, sk) scores for one (Q chunk, K chunk) pair with global
-    causal masking from the chunks' global offsets (traced scalars)."""
+def _xla_block(q, k, v, scale, causal):
+    """One fused-XLA attention block -> (out normalized, lse).  ``causal``
+    masks *relative* positions (only ever used for the diagonal chunk)."""
     scores = jnp.einsum("bqd,bkd->bqk", q, k, precision=_PREC) * scale
     if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + row0
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2) + col0
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
         scores = jnp.where(col <= row, scores, _NEG_INF)
-    return scores
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bqk,bkd->bqd", p, v, precision=_PREC) / l
+    return out.astype(q.dtype), (m + jnp.log(l)).astype(jnp.float32)
+
+
+def _vma_of(x):
+    """Mesh axes ``x`` varies over inside shard_map (None outside)."""
+    vma = getattr(jax.typeof(x), "vma", None)
+    return frozenset(vma) if vma else None
+
+
+def _run_block(q, k, v, scale, causal, block):
+    if block == "pallas":
+        from ..ops.attention import flash_block
+
+        return flash_block(q, k, v, scale, causal, _vma_of(q))
+    return _xla_block(q, k, v, scale, causal)
+
+
+def _merge(acc, lse, out_r, lse_r):
+    """Online-softmax combine of two normalized (out, lse) partials."""
+    lse_new = jnp.logaddexp(lse, lse_r)
+    acc = (acc * jnp.exp(lse - lse_new)
+           + out_r.astype(jnp.float32) * jnp.exp(lse_r - lse_new))
+    return acc, lse_new
 
 
 def ring_attention(q, k, v, scale: float, axis_name: str = "sp",
-                   causal: bool = False, ring_size: int = None):
+                   causal: bool = False, ring_size: int = None,
+                   block: str = "xla"):
     """Exact softmax attention with q/k/v sharded on the sequence axis.
 
     Args (per-device shards, inside ``shard_map``):
         q, k, v: (B, s_local, D) -- B folds batch*heads.
         axis_name: mesh axis carrying the sequence shards.
         ring_size: number of shards; defaults to the axis size (static).
+        block: per-round kernel, "pallas" (flash) or "xla" (fused einsum).
     Returns: (B, s_local, D) output shard.
     """
     if ring_size is None:
@@ -59,33 +102,45 @@ def ring_attention(q, k, v, scale: float, axis_name: str = "sp",
     ring_size = int(ring_size)
     me = jax.lax.axis_index(axis_name)
     b, s_local, d = q.shape
-    row0 = me * s_local
 
-    m = jnp.full((b, s_local, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((b, s_local, 1), jnp.float32)
-    acc = jnp.zeros((b, s_local, d), jnp.float32)
+    # round 0: the device's own chunk (src == me statically)
+    out0, lse0 = _run_block(q, k, v, scale, causal, block)
+    acc, lse = out0.astype(jnp.float32), lse0
+
     kr, vr = k, v
     perm = [(i, (i + 1) % ring_size) for i in range(ring_size)]
-    for r in range(ring_size):
-        src = (me - r) % ring_size          # chunk we currently hold
-        col0 = src * s_local
-        scores = _block_scores(q, kr, scale, row0, col0, s_local, causal)
-        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
-        p = jnp.exp(scores - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum("bqk,bkd->bqd", p, vr, precision=_PREC)
-        m = m_new
-        if r + 1 < ring_size:
-            kr = jax.lax.ppermute(kr, axis_name, perm)
-            vr = jax.lax.ppermute(vr, axis_name, perm)
-    # causal fully-masked rows (none in practice: every row sees itself)
-    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)
+    for r in range(1, ring_size):
+        kr = jax.lax.ppermute(kr, axis_name, perm)
+        vr = jax.lax.ppermute(vr, axis_name, perm)
+        src = (me - r) % ring_size  # chunk we now hold (traced, != me)
+        full = functools.partial(_run_block, scale=scale, causal=False,
+                                 block=block)
+        if causal:
+            # src < me: the chunk is strictly before our rows -> attend fully;
+            # src > me: strictly after -> contributes nothing, skip its FLOPs.
+            # pcast marks the constants as axis-varying so both cond branches
+            # have identical types under shard_map's vma tracking (no-op when
+            # the enclosing shard_map runs with check_vma=False).
+            if _vma_of(q):
+                vary = lambda x: jax.lax.pcast(x, (axis_name,), to="varying")
+            else:
+                vary = lambda x: x
+            skip = lambda q, k, v: (
+                vary(jnp.zeros((b, s_local, d), q.dtype)),
+                vary(jnp.full((b, s_local, 1), _NEG_INF, jnp.float32)),
+            )
+            out_r, lse_r = jax.lax.cond(src < me, full, skip, q, kr, vr)
+        else:
+            out_r, lse_r = full(q, kr, vr)
+        acc, lse = _merge(acc, lse, out_r, lse_r)
+    return acc.astype(q.dtype)
 
 
 @functools.lru_cache(maxsize=None)
 def _build_sharded(mesh, axis, batch_axis, scale, causal):
     from jax import shard_map
+
+    from ..ops.runtime import resolve_mode
 
     spec = P(batch_axis, axis, None)
 
@@ -93,13 +148,21 @@ def _build_sharded(mesh, axis, batch_axis, scale, causal):
         b3 = prod(q.shape[:-2])
         s, d = q.shape[-2], q.shape[-1]
         shape = q.shape
+        s_local = s // mesh.shape[axis]
+        # per-round rows/cols are s_local: route the block kernel by the
+        # same measured policy as single-device attention
+        block = resolve_mode("attention", seq=s_local)
         q3, k3, v3 = (x.reshape(b3, s, d) for x in (q, k, v))
         inner = functools.partial(
             ring_attention, scale=scale, axis_name=axis, causal=causal,
-            ring_size=mesh.shape[axis],
+            ring_size=mesh.shape[axis], block=block,
         )
+        # pallas_call inside a vma-checked shard_map trips interpret-mode
+        # vma propagation (dynamic_slice on unvarying block indices), so the
+        # flash-block path opts out of the check; the xla path keeps it
         out = shard_map(
             inner, mesh=mesh, in_specs=(spec,) * 3, out_specs=spec,
+            check_vma=(block != "pallas"),
         )(q3, k3, v3)
         return out.reshape(shape)
 

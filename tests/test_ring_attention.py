@@ -83,6 +83,69 @@ def test_ring_no_full_sequence_allgather():
 
 
 @needs_mesh
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_pallas_block_matches_dense(causal):
+    """The flash-kernel block path (O(s_local) memory per round) must match
+    the dense oracle, forward and gradients -- including the lse-cotangent
+    flow through the blockwise merge (ops/attention.flash_block VJP)."""
+    from jax import shard_map
+    from lightgrad_tpu.parallel.ring_attention import ring_attention
+
+    q, k, v = _qkv(2, 512, 32, seed=6)
+    scale = 1.0 / np.sqrt(32)
+    mesh = make_mesh(dp=1, tp=1, sp=4)
+    shard = NamedSharding(mesh, P(None, "sp", None))
+    spec = P(None, "sp", None)
+
+    def ring_fn(q, k, v):
+        import functools
+        inner = functools.partial(
+            ring_attention, scale=scale, axis_name="sp", causal=causal,
+            ring_size=4, block="pallas")
+        return shard_map(inner, mesh=mesh, in_specs=(spec,) * 3,
+                         out_specs=spec, check_vma=False)(q, k, v)
+
+    qs, ks, vs = (jax.device_put(x, shard) for x in (q, k, v))
+    got = jax.jit(ring_fn)(qs, ks, vs)
+    want = _attn_fwd_impl(q, k, v, scale, mode="xla", causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+    loss_ring = lambda q, k, v: jnp.sum(ring_fn(q, k, v) ** 2)
+    loss_dense = lambda q, k, v: jnp.sum(
+        _attn_fwd_impl(q, k, v, scale, mode="xla", causal=causal) ** 2)
+    g_ring = jax.jit(jax.grad(loss_ring, argnums=(0, 1, 2)))(qs, ks, vs)
+    g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for gr, gd, name in zip(g_ring, g_dense, "qkv"):
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(gd),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_flash_block_lse_cotangent():
+    """flash_block's custom VJP must propagate a nonzero lse cotangent
+    (d s_ij += p_ij * dlse_i): check against jax AD of the xla block."""
+    from lightgrad_tpu.ops.attention import flash_block
+    from lightgrad_tpu.parallel.ring_attention import _xla_block
+
+    q, k, v = _qkv(1, 128, 16, seed=8)
+    scale = 0.25
+
+    def loss_flash(q, k, v):
+        out, lse = flash_block(q, k, v, scale, False)
+        return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+    def loss_xla(q, k, v):
+        out, lse = _xla_block(q, k, v, scale, False)
+        return jnp.sum(out ** 2) + jnp.sum(jnp.sin(lse))
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+@needs_mesh
 def test_ring_with_dp_batch_sharding():
     q, k, v = _qkv(4, 256, 16, seed=4)
     scale = 0.25
