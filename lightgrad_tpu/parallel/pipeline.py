@@ -78,9 +78,15 @@ def gpipe_ticks(n_micro: int, n_stages: int, n_virtual: int = 1) -> int:
 
 
 def interleaved_ticks(n_micro: int, n_stages: int, n_virtual: int) -> int:
-    """Interleaved drain latency in block-units (microbatch wave <= P)."""
-    assert n_micro <= n_stages, "schedule processes waves of <= P microbatches"
-    return n_micro + n_stages * n_virtual - 1
+    """Interleaved drain latency in block-units, waves packed back-to-back.
+
+    A full wave of P microbatches keeps every device busy for exactly
+    ``P*V`` consecutive ticks (V chunk-visits per microbatch, no idle gap in
+    steady state), so wave ``w`` starts at tick ``w*P*V`` and only the last
+    (possibly partial) wave pays the ``P*V - 1`` drain."""
+    n_waves = -(-n_micro // n_stages)
+    last = n_micro - (n_waves - 1) * n_stages
+    return (n_waves - 1) * n_stages * n_virtual + last + n_stages * n_virtual - 1
 
 
 def pipeline_apply_interleaved(stage_fn, stacked_params, x_micro, mesh,
@@ -90,23 +96,24 @@ def pipeline_apply_interleaved(stage_fn, stacked_params, x_micro, mesh,
     The model's ``P * V`` blocks are dealt round-robin: device ``d`` owns
     chunks ``{c*P + d : c < V}``, so a microbatch hops the ring V times.  The
     drain latency falls from GPipe's ``V*(n_micro + P - 1)`` block-units to
-    ``n_micro + P*V - 1`` -- the bubble shrinks by ~1/V (e.g. 11 vs 14 ticks
-    at n_micro=4, P=4, V=2).  Like :func:`pipeline_apply`, the whole schedule
-    is one pure jax program: ``jax.grad`` differentiates through the
-    ppermutes, so training works; each wave handles <= P microbatches
-    (callers loop waves for more).
+    ``n_micro + P*V - 1`` for one wave -- the bubble shrinks by ~1/V (e.g. 11
+    vs 14 ticks at n_micro=4, P=4, V=2).  For ``n_micro > P`` the schedule
+    packs waves of P microbatches back-to-back: a full wave keeps every
+    device busy P*V consecutive ticks, so waves chain with NO inter-wave
+    bubble (``interleaved_ticks``).  Like :func:`pipeline_apply`, the whole
+    schedule is one pure jax program: ``jax.grad`` differentiates through
+    the ppermutes, so training works.
 
     stage_fn        -- ``(params, x) -> y`` with ``y.shape == x.shape``
     stacked_params  -- pytree, leaves ``(P*V, ...)``: block ``s = c*P + d``
                        lives at leaf index ``s`` (sharded P(axis) after the
                        (V, P) regroup below)
-    x_micro         -- ``(n_micro, mb, ...)``, n_micro <= P, replicated
+    x_micro         -- ``(n_micro, mb, ...)``, replicated
     """
     n_stages = mesh.shape[axis]
     n_micro = x_micro.shape[0]
     V = n_virtual
-    assert n_micro <= n_stages, (
-        f"interleaved wave needs n_micro <= P ({n_micro} > {n_stages})")
+    n_waves = -(-n_micro // n_stages)
     ticks = interleaved_ticks(n_micro, n_stages, V)
 
     # regroup (P*V, ...) -> (V, P, ...) so the device axis shards cleanly:
@@ -123,12 +130,15 @@ def pipeline_apply_interleaved(stage_fn, stacked_params, x_micro, mesh,
         recv = jnp.zeros(mb_shape, xs.dtype)
         outs = jnp.zeros((n_micro,) + mb_shape, xs.dtype)
         for t in range(ticks):  # static unroll
-            # block (m, c) runs on device d at tick t = m + c*P + d
+            # wave w's block (m, c) runs on device d at tick
+            # t = w*P*V + (m % P) + c*P + d
             rel = t - d                       # traced (d is the axis index)
-            c = jnp.clip(rel // n_stages, 0, V - 1)
-            m = jnp.clip(rel % n_stages, 0, n_micro - 1)
-            active = (rel >= 0) & (rel % n_stages < n_micro) \
-                & (rel // n_stages < V)
+            w = rel // (n_stages * V)
+            within = rel % (n_stages * V)
+            c = within // n_stages            # in [0, V) by construction
+            m = jnp.clip(w * n_stages + within % n_stages, 0, n_micro - 1)
+            active = (rel >= 0) & (w < n_waves) \
+                & (w * n_stages + within % n_stages < n_micro)
             chunk = jax.tree_util.tree_map(lambda a: a[c], params)
             inject = xs[m]
             # only the model's FIRST block (chunk 0 on device 0) takes fresh

@@ -388,6 +388,39 @@ def test_interleaved_pipeline_matches_sequential():
 
 
 @needs_mesh
+def test_interleaved_pipeline_multiwave():
+    """n_micro > P: waves of P microbatches pack back-to-back with no
+    inter-wave bubble (a full wave keeps every device busy P*V ticks)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from lightgrad_tpu.parallel import make_mesh
+    from lightgrad_tpu.parallel.pipeline import (
+        pipeline_apply_interleaved, interleaved_ticks, gpipe_ticks)
+
+    pp, V, mb, dim = 4, 2, 2, 8
+    mesh = make_mesh(dp=1, tp=1, pp=pp)
+
+    def stage(wi, h):
+        return jnp.tanh(h @ wi)
+
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(0, 0.4, (pp * V, dim, dim)).astype(np.float32))
+    for n_micro in (6, 8, 9):  # partial, exact, and 2-full+partial waves
+        xs = jnp.asarray(rng.normal(size=(n_micro, mb, dim)).astype(np.float32))
+        got = pipeline_apply_interleaved(
+            stage, w, xs, mesh, axis="pp", n_virtual=V)
+        want = xs
+        for s in range(pp * V):
+            want = jnp.tanh(want @ w[s])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5, err_msg=str(n_micro))
+    # 8 microbatches on a 4x2 pipe: 2 dense waves = 2*8 + 3 = 19 ticks,
+    # vs GPipe 2*(8+3) = 22 and sequential waves 2*11 = 22
+    assert interleaved_ticks(8, pp, V) == 19
+    assert interleaved_ticks(8, pp, V) < gpipe_ticks(8, pp, V) == 22
+
+
+@needs_mesh
 def test_interleaved_pipeline_gradients():
     import jax.numpy as jnp
     from lightgrad_tpu.parallel import make_mesh
