@@ -1,3 +1,4 @@
 from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
 from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
-from .llama import LlamaConfig, Llama, RMSNorm
+from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
+from .decoding import beam_search

@@ -119,7 +119,8 @@ class GPT(nn.Module):
     @no_grad()
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
                  rng: np.random.Generator = None, use_cache: bool = True,
-                 top_k: int = 0, top_p: float = 0.0):
+                 top_k: int = 0, top_p: float = 0.0, num_beams: int = 1,
+                 eos_id: int = None, length_penalty: float = 1.0):
         """Autoregressive decode; greedy when ``temperature=0``.
 
         ``use_cache=True`` (default, jax-backed tensors only): incremental
@@ -136,6 +137,12 @@ class GPT(nn.Module):
         ids = list(ids)
         rng = rng or np.random.default_rng(0)
         window = self.cfg.n_positions
+        if num_beams > 1:
+            from .decoding import beam_search
+
+            assert temperature == 0.0, "beam search is deterministic"
+            return beam_search(self, ids, max_new_tokens, beam_size=num_beams,
+                               eos_id=eos_id, length_penalty=length_penalty)
         if use_cache:
             try:
                 return self._generate_kv(ids, max_new_tokens, temperature, rng,

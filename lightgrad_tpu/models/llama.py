@@ -20,7 +20,7 @@ import numpy as np
 import lightgrad_tpu.nn as nn
 from lightgrad_tpu.autograd import Tensor, no_grad
 
-__all__ = ["LlamaConfig", "Llama", "RMSNorm"]
+__all__ = ["LlamaConfig", "Llama", "RMSNorm", "LlamaTokenizer"]
 
 
 class LlamaConfig:
@@ -168,12 +168,19 @@ class Llama(nn.Module):
     @no_grad()
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
                  rng: np.random.Generator = None, use_cache: bool = True,
-                 top_k: int = 0, top_p: float = 0.0):
+                 top_k: int = 0, top_p: float = 0.0, num_beams: int = 1,
+                 eos_id: int = None, length_penalty: float = 1.0):
         from .gpt import _NotJaxBacked, _sample
 
         ids = list(ids)
         rng = rng or np.random.default_rng(0)
         window = self.cfg.max_position_embeddings
+        if num_beams > 1:
+            from .decoding import beam_search
+
+            assert temperature == 0.0, "beam search is deterministic"
+            return beam_search(self, ids, max_new_tokens, beam_size=num_beams,
+                               eos_id=eos_id, length_penalty=length_penalty)
         if use_cache:
             try:
                 return self._generate_kv(ids, max_new_tokens, temperature, rng,
@@ -356,3 +363,44 @@ class Llama(nn.Module):
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(cfg, f, indent=1)
         return path
+
+
+# ---------------------------------------------------------------------------
+# tokenizer: SentencePiece model import (pure-python reader; byte fallback)
+# ---------------------------------------------------------------------------
+class LlamaTokenizer:
+    """LLaMA tokenizer over a SentencePiece ``tokenizer.model``.
+
+    Loads the protobuf via :mod:`lightgrad_tpu.utils.sentencepiece` (no
+    ``sentencepiece`` install needed).  ``encode`` adds the BOS id like the
+    HF tokenizer; control pieces are dropped on decode."""
+
+    def __init__(self, sp, bos_id: int = 1, eos_id: int = 2):
+        self.sp = sp
+        self.bos_id, self.eos_id = bos_id, eos_id
+
+    @property
+    def vocab_size(self):
+        return len(self.sp)
+
+    @classmethod
+    def from_file(cls, path: str):
+        from lightgrad_tpu.utils.sentencepiece import SentencePieceModel
+
+        return cls(SentencePieceModel.from_file(path))
+
+    @classmethod
+    def from_pretrained(cls, name: str):
+        from lightgrad_tpu.utils import fetch
+        from lightgrad_tpu.utils.sentencepiece import SentencePieceModel
+
+        url = f"https://huggingface.co/{name}/resolve/main/tokenizer.model"
+        return cls(SentencePieceModel.from_bytes(fetch(url)))
+
+    def encode(self, text: str, bos: bool = True):
+        ids = self.sp.encode(text)
+        return [self.bos_id] + ids if bos else ids
+
+    def decode(self, ids):
+        return self.sp.decode([i for i in ids
+                               if i not in (self.bos_id, self.eos_id)])
