@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, resolve_mode, cdiv
+from .runtime import interpret, resolve_mode, cdiv
 
 __all__ = ["attention_fwd", "attention_fwd_res", "attention_bwd"]
 
@@ -136,7 +136,7 @@ def _flash_fwd(q, k, v, scale, causal, vma=None):
             pltpu.VMEM((bq, 1), jnp.float32),
             pltpu.VMEM((bq, d), jnp.float32),
         ],
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(q, k, v)
 
 
@@ -220,7 +220,7 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
         out_specs=row_spec(d),
         out_shape=sds((b, s, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(q, k, v, g, lse, dcap)
 
     # second pass: swap the roles -- k blocks are resident, q streams
@@ -241,7 +241,7 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
             pltpu.VMEM((bk, d), jnp.float32),
             pltpu.VMEM((bk, d), jnp.float32),
         ],
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(q, k, v, g, lse, dcap)
     return dq, dk, dv
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
+from .runtime import interpret, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["ew"]
 
@@ -114,7 +114,7 @@ def _pallas_ew(fn, n_out, *xs):
         in_specs=in_specs,
         out_specs=[out_spec] * n_out,
         out_shape=[jax.ShapeDtypeStruct(out_shape, o.dtype) for o in out_abs],
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(*[x.reshape(s) for x, s in zip(xs, in_aligned)])
 
     outs = [o.reshape(full_out_shape) for o in outs]

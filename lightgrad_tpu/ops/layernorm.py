@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
+from .runtime import interpret, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["layernorm_fwd", "layernorm_bwd_dx"]
 
@@ -77,7 +77,7 @@ def _ln_fwd_impl(x, w, b, eps, mode):
             jax.ShapeDtypeStruct((r, c), x.dtype),
             jax.ShapeDtypeStruct((r, 1), x.dtype),
         ],
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(x2, w2, b2)
     return y.reshape(shape), xhat, rstd
 
@@ -100,7 +100,7 @@ def _ln_bwd_impl(g, w, xhat, rstd, mode):
         in_specs=[row_spec, vec_spec, row_spec, col_spec],
         out_specs=row_spec,
         out_shape=jax.ShapeDtypeStruct((r, c), g.dtype),
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(g2, w2, xhat, rstd)
 
 

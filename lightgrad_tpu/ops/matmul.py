@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv, round_up
+from .runtime import interpret, kernel_mode, resolve_mode, cdiv, round_up
 
 __all__ = ["matmul"]
 
@@ -130,7 +130,7 @@ def _pallas_matmul3(a, b, blocks=None):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(a, b)
 
 

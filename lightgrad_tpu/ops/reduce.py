@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
+from .runtime import interpret, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["reduce"]
 
@@ -61,7 +61,7 @@ def _pallas_reduce2(x2, op):
         in_specs=[pl.BlockSpec((bk, br), lambda i, j: (i, j), memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((bk, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k_dim, 1), out_dtype),
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(x2)
 
 

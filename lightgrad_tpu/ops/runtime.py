@@ -27,31 +27,57 @@ import os
 
 import jax
 
-__all__ = ["ON_TPU", "INTERPRET", "kernel_mode", "set_kernel_mode", "cdiv", "round_up"]
+__all__ = ["on_tpu", "interpret", "kernel_mode", "set_kernel_mode", "cdiv",
+           "round_up"]
 
-# persistent compilation cache: the eager tape compiles one small XLA program
-# per (op, shape) -- caching them across processes removes the dominant
-# first-run latency (especially over tunneled TPU connections)
-ON_TPU = jax.default_backend() == "tpu"
+_on_tpu = None
+_mode = None
 
-if os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
-    # one cache dir per platform: mixing them makes the CPU AOT loader warn
-    # about machine-feature mismatches on every load
-    _suffix = "" if ON_TPU else f"_{jax.default_backend()}"
-    _cache_dir = os.environ.get(
-        "LIGHTGRAD_COMPILE_CACHE",
-        os.path.expanduser(f"~/.cache/lightgrad_tpu_xla{_suffix}"),
-    )
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-# pallas interpret mode whenever we are not on a real TPU
-INTERPRET = not ON_TPU
 
-_mode = os.environ.get("LIGHTGRAD_KERNELS", "auto" if ON_TPU else "xla")
+def on_tpu() -> bool:
+    """Lazy platform detection.  Deliberately NOT evaluated at import time:
+    querying the backend initializes XLA, which must not happen before a
+    multi-host ``jax.distributed.initialize()`` (parallel/distributed.py) --
+    importing this framework must leave that window open."""
+    global _on_tpu
+    if _on_tpu is None:
+        _on_tpu = jax.default_backend() == "tpu"
+        if os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
+            # persistent compilation cache: the eager tape compiles one small
+            # XLA program per (op, shape) -- caching across processes removes
+            # the dominant first-run latency (especially over tunneled TPU
+            # connections).  One cache dir per platform: mixing them makes
+            # the CPU AOT loader warn about machine-feature mismatches.
+            suffix = "" if _on_tpu else f"_{jax.default_backend()}"
+            cache_dir = os.environ.get(
+                "LIGHTGRAD_COMPILE_CACHE",
+                os.path.expanduser(f"~/.cache/lightgrad_tpu_xla{suffix}"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    return _on_tpu
+
+
+def interpret() -> bool:
+    """Pallas interpret mode whenever not on a real TPU (the analogue of the
+    reference's POCL-on-CI trick, SURVEY.md §4)."""
+    return not on_tpu()
+
+
+def __getattr__(name):  # legacy constant-style access stays working
+    if name == "ON_TPU":
+        return on_tpu()
+    if name == "INTERPRET":
+        return interpret()
+    raise AttributeError(name)
 
 
 def kernel_mode() -> str:
+    global _mode
+    if _mode is None:
+        _mode = os.environ.get("LIGHTGRAD_KERNELS",
+                               "auto" if on_tpu() else "xla")
     return _mode
 
 
@@ -59,7 +85,7 @@ def set_kernel_mode(mode: str) -> str:
     """Switch between 'auto', 'pallas' and 'xla' kernel implementations."""
     global _mode
     assert mode in ("auto", "pallas", "xla"), mode
-    prev, _mode = _mode, mode
+    prev, _mode = kernel_mode(), mode
     return prev
 
 
@@ -76,7 +102,7 @@ def resolve_mode(op: str, **hints) -> str:
     """
     if _staging:
         return "xla"
-    mode = _mode
+    mode = kernel_mode()
     if mode != "auto":
         return mode
     if op == "attention":

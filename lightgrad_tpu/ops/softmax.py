@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .runtime import INTERPRET, kernel_mode, resolve_mode, cdiv
+from .runtime import interpret, kernel_mode, resolve_mode, cdiv
 
 __all__ = ["softmax_fwd", "softmax_bwd"]
 
@@ -52,7 +52,7 @@ def _rows_call(kernel, n_in, *xs):
         ] * n_in,
         out_specs=pl.BlockSpec((bm, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, c), xs[0].dtype),
-        interpret=INTERPRET,
+        interpret=interpret(),
     )(*x2s)
     return out.reshape(shape)
 
