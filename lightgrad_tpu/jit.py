@@ -34,7 +34,19 @@ import jax
 from .autograd import tensor as _tensor_mod
 from .autograd.tpu.tensor import TpuTensor
 
-__all__ = ["jit"]
+__all__ = ["jit", "invalidate_captures"]
+
+# bumped whenever user code rebinds a tensor a compiled step may have
+# captured by object identity (e.g. ``model.w = Tensor(...)`` -- see
+# nn.Module.register_param_or_module).  Compiled steps snapshot the epoch at
+# record time and re-record when it moves: the value-epoch drift guard.
+_capture_epoch = 0
+
+
+def invalidate_captures():
+    """Mark all captured-by-identity jit programs stale (cheap, global)."""
+    global _capture_epoch
+    _capture_epoch += 1
 
 
 class _Recorder:
@@ -178,6 +190,7 @@ class _CompiledStep:
             "captured": captured,
             "mutated": mutated,
             "compiled": None,
+            "epoch": _capture_epoch,
         }
         return out
 
@@ -221,6 +234,12 @@ class _CompiledStep:
 
     # -- phase 3: steady-state dispatch -------------------------------------
     def _run(self, state, args):
+        # value-epoch drift guard: a parameter rebind since recording means
+        # the captured object set may no longer be what fn reads -- re-record
+        if state["epoch"] != _capture_epoch:
+            sig = self._signature(args)
+            del self.cache[sig]
+            return self._record(sig, args)
         arg_datas = [t.data for t in args if _is_tensor(t)]
         mut_in = [t.data for t in state["cap_mut"]]
         const_in = [t.data for t in state["cap_const"]]

@@ -43,6 +43,13 @@ class Module:
         object.__setattr__(self, name, val)
 
     def register_param_or_module(self, name, val):
+        if name in self._params or name in self._modules:
+            # rebinding an existing parameter/submodule swaps the OBJECT a
+            # compiled step captured by identity -- invalidate those programs
+            # so they re-record instead of silently training the old tensor
+            from .jit import invalidate_captures
+
+            invalidate_captures()
         if isinstance(val, AbstractTensor):
             self._modules.pop(name, None)
             self._params[name] = val

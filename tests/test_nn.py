@@ -425,3 +425,44 @@ def test_gpt_hf_export_roundtrip(tmp_path):
     m2.load_parameters(GPT.remap_hf_state(state))
     for (n1, p1), (n2, p2) in zip(m.named_parameters(), m2.named_parameters()):
         np.testing.assert_array_equal(p1.numpy(), p2.numpy(), err_msg=n1)
+
+
+def test_jit_param_rebind_reinvalidates(monkeypatch):
+    """Value-epoch drift guard (ROADMAP): rebinding a module parameter after
+    a step compiled must re-record -- the compiled program captured the OLD
+    tensor object by identity and would otherwise keep training it while the
+    new parameter silently never moves."""
+    monkeypatch.setenv("LIGHTGRAD_STAGE_RECORD", "0")
+    np.random.seed(11)
+    model = TwoLayer()
+    model.map_parameters(lambda p: p.tpu())
+    optim = light.optim.SGD(model.parameters(), lr=0.1)
+
+    def step(x, y):
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss
+
+    fn = light.jit(step)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 6)).astype(np.float32),
+        requires_grad=False)
+    y = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 3)).astype(np.float32),
+        requires_grad=False)
+    for _ in range(3):
+        fn(x, y)  # record, compile, dispatch
+
+    # swap in a fresh weight object (same shape) and re-target the optimizer
+    new_w = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (16, 6)).astype(np.float32))
+    model.l1.weight = new_w
+    optim.parameters = tuple(model.parameters())
+    before = new_w.numpy().copy()
+    fn(x, y)
+    after = model.l1.weight.numpy()
+    assert model.l1.weight is new_w, "rebound parameter must stay the live object"
+    assert not np.allclose(before, after), \
+        "rebound parameter did not train: stale captured program dispatched"
