@@ -59,7 +59,12 @@ def main():
             # dominates single-digit-ms kernels and under-reports TF/s
             iters = max(20, min(50, int(2e11 / flops)))
 
-            xla_fn = jax.jit(functools.partial(jnp.matmul, precision=mm._precision()))
+            # bf16 baseline must run DEFAULT precision: HIGHEST on bf16
+            # operands would handicap XLA (f32 multiplication passes) and
+            # inflate the pallas speedups the routing table records
+            xla_prec = (jax.lax.Precision.DEFAULT if tag == "bf16"
+                        else mm._precision())
+            xla_fn = jax.jit(functools.partial(jnp.matmul, precision=xla_prec))
             t_xla, runs_xla = time_median(lambda: xla_fn(a, b), iters=iters)
             entry = {"precision": tag, "n": n, "iters": iters,
                      "xla_s": round(t_xla, 6), "xla_runs": runs_xla,

@@ -189,6 +189,12 @@ class _CompiledStep:
         self.cache[sig] = {
             "captured": captured,
             "mutated": mutated,
+            # ALL written tensors, including ones created during recording
+            # that persist as object state (e.g. p.grad buffers attached to
+            # params): tracing overwrites their data with tracers, and they
+            # are not in the swap list, so the trace must restore them too
+            # or the next eager step reads a leaked tracer
+            "written": list(rec.writes.values()),
             "compiled": None,
             "epoch": _capture_epoch,
         }
@@ -212,7 +218,12 @@ class _CompiledStep:
                 + list(zip(cap_mut, mut_datas_in))
                 + list(zip(cap_const, const_datas))
             )
-            old = [(t, t.data, t.ctx) for t, _ in swap]
+            # snapshot every tensor the step touches (swapped inputs AND
+            # write targets created during recording) so tracing leaves no
+            # tracer behind in live tensor objects
+            restore = {id(t): t for t, _ in swap}
+            restore.update((id(t), t) for t in state["written"])
+            old = [(t, t._raw_data(), t.ctx) for t in restore.values()]
             try:
                 for t, d in swap:
                     t._set_data(d)

@@ -137,7 +137,14 @@ def _pallas_matmul3(a, b, blocks=None):
 def _matmul_impl(a, b, mode, blocks=None):
     assert a.ndim >= 2 and b.ndim >= 2, "matmul requires >=2-D operands"
     if mode == "xla":
-        return jnp.matmul(a, b, precision=_precision())
+        # bf16 operands: DEFAULT precision (native MXU passes, f32
+        # accumulate).  HIGHEST would request f32 multiplication -- pure
+        # slowdown with no accuracy left to gain at bf16 inputs.  The f32
+        # path keeps the configured highest/default switch.
+        prec = (jax.lax.Precision.DEFAULT
+                if a.dtype == jnp.bfloat16 and b.dtype == jnp.bfloat16
+                else _precision())
+        return jnp.matmul(a, b, precision=prec)
     # canonicalize to (B, M, K) x (B, K, N) with numpy batch broadcasting
     batch = jnp.broadcast_shapes(a.shape[:-2], b.shape[:-2])
     a3 = jnp.broadcast_to(a, batch + a.shape[-2:]).reshape(

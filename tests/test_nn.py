@@ -466,3 +466,54 @@ def test_jit_param_rebind_reinvalidates(monkeypatch):
     assert model.l1.weight is new_w, "rebound parameter must stay the live object"
     assert not np.allclose(before, after), \
         "rebound parameter did not train: stale captured program dispatched"
+
+
+def test_jit_no_tracer_leak_into_live_tensors(monkeypatch):
+    """Tracing a compiled step must not leave tracers in live tensor objects.
+
+    Grad buffers are CREATED during the recording step and persist attached
+    to their params; the compile-time trace overwrites their data and must
+    restore it -- otherwise the next eager/recording step (e.g. a second
+    light.jit over the same model) reads a leaked tracer and dies inside the
+    CPU-staging recorder (d.devices() on an abstract value)."""
+    monkeypatch.setenv("LIGHTGRAD_STAGE_RECORD", "0")
+    import jax.core
+
+    np.random.seed(3)
+    model = TwoLayer()
+    model.map_parameters(lambda p: p.tpu())
+    optim = light.optim.SGD(model.parameters(), lr=0.1)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 6)).astype(np.float32),
+        requires_grad=False)
+    y = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 3)).astype(np.float32),
+        requires_grad=False)
+
+    def fwd_bwd(x, y):
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        return loss
+
+    def full(x, y):
+        loss = fwd_bwd(x, y)
+        optim.step()
+        return loss
+
+    c1 = light.jit(fwd_bwd)
+    for _ in range(3):
+        c1(x, y)
+    for p in model.parameters():
+        for t in (p, p.grad):
+            if t is not None:
+                assert not isinstance(t._raw_data(), jax.core.Tracer), \
+                    "tracer leaked into live tensor after compile"
+    # a second compiled step over the same model must record cleanly
+    c2 = light.jit(full)
+    before = [p.numpy().copy() for p in model.parameters()]
+    for _ in range(3):
+        loss = c2(x, y)
+    assert np.isfinite(loss.item())
+    after = [p.numpy() for p in model.parameters()]
+    assert any(not np.allclose(a, b) for a, b in zip(before, after))
