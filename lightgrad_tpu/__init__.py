@@ -19,7 +19,7 @@ from .autograd import (
 )
 from .utils.profiler import Profiler
 from .jit import jit
-from . import amp, random, checkpoint, parallel
+from . import amp, random, checkpoint, parallel, schedule
 
 # tensor initializer shortcuts (parity: reference lightgrad/__init__.py)
 empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones
