@@ -130,3 +130,32 @@ class AdaBelief(Adam):
     def _second_moment_update(self, grad, i):
         d = grad - self.m[i]
         return d * d
+
+
+@Gradients.no_grad()
+def clip_grad_norm(parameters, max_norm: float):
+    """Scale all gradients so their global L2 norm is at most ``max_norm``.
+
+    Pure tensor math (no host sync, no data-dependent python control flow):
+    the scale ``min(1, max_norm / (norm + eps))`` is computed as a rank-0
+    tensor and multiplied into every grad in place, so a whole train step
+    using it stays compilable by ``lightgrad_tpu.jit``.  Returns the norm
+    as a rank-0 tensor (call ``.item()`` outside compiled steps to log it).
+
+    No counterpart in the reference (its optimizers consume raw grads,
+    /root/reference/lightgrad/optim.py:10-15).
+    """
+    params = [p for p in parameters if p.grad is not None]
+    assert params, "clip_grad_norm: no parameter has a gradient"
+    total = None
+    for p in params:
+        sq = (p.grad * p.grad).sum()
+        total = sq if total is None else total + sq
+    norm = total ** 0.5
+    # min(1, c/n) without control flow: mask = (n > c) in {0, 1}
+    over = norm.gt(max_norm)
+    scale = over * (max_norm / (norm + 1e-6)) + (1.0 - over)
+    for p in params:
+        g = p.grad
+        g *= scale  # in-place imul on the live grad tensor
+    return norm

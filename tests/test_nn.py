@@ -517,3 +517,27 @@ def test_jit_no_tracer_leak_into_live_tensors(monkeypatch):
     assert np.isfinite(loss.item())
     after = [p.numpy() for p in model.parameters()]
     assert any(not np.allclose(a, b) for a, b in zip(before, after))
+
+
+@pytest.mark.parametrize("backend_cls", [CpuTensor, TpuTensor])
+def test_clip_grad_norm(backend_cls):
+    ps = [backend_cls.from_numpy(np.zeros((3, 3), np.float32)) for _ in range(2)]
+    gs = [np.full((3, 3), 2.0, np.float32), np.full((3, 3), -1.0, np.float32)]
+    for p, g in zip(ps, gs):
+        p.zero_grad()
+        p.add_grad(backend_cls.from_numpy(g, requires_grad=False))
+    want_norm = np.sqrt(sum((g ** 2).sum() for g in gs))
+    norm = light.optim.clip_grad_norm(ps, max_norm=1.0)
+    np.testing.assert_allclose(norm.item(), want_norm, rtol=1e-5)
+    clipped = np.sqrt(sum((p.grad.numpy() ** 2).sum() for p in ps))
+    np.testing.assert_allclose(clipped, 1.0, rtol=1e-4)
+    # direction preserved
+    np.testing.assert_allclose(
+        ps[0].grad.numpy() / ps[1].grad.numpy(), -2.0, rtol=1e-5)
+    # under the cap: untouched
+    for p in ps:
+        p.zero_grad()
+        p.add_grad(backend_cls.from_numpy(
+            np.full((3, 3), 0.01, np.float32), requires_grad=False))
+    light.optim.clip_grad_norm(ps, max_norm=1.0)
+    np.testing.assert_allclose(ps[0].grad.numpy(), 0.01, rtol=1e-5)
