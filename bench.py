@@ -263,6 +263,33 @@ def main():
     details["mnist_final_loss"] = round(final_loss, 4)
     err(f"mnist mlp 200 steps: median {mnist_s:.4f}s {runs} (loss {final_loss:.4f})")
 
+    # headline JSON line goes out NOW: the detailed stages below include a
+    # whole-model compile that can outlive a driver timeout, and a killed
+    # process must not take the headline with it
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "reference_cpu.json")
+    vs = None
+    if os.path.exists(ref_path):
+        ref = json.load(open(ref_path))
+        details["reference_cpu"] = ref
+        if ref.get("mnist_mlp_200steps_s"):
+            vs = round(ref["mnist_mlp_200steps_s"] / mnist_s, 2)
+    print(json.dumps({
+        "metric": "mnist_mlp_200steps_wallclock",
+        "value": round(mnist_s, 4),
+        "unit": "s",
+        "vs_baseline": vs if vs is not None else 0.0,
+    }), flush=True)
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "tpu_results.json")
+
+    def checkpoint_results():
+        with open(out_path, "w") as f:
+            json.dump(details, f, indent=2)
+
+    checkpoint_results()
+
     dt, runs, gf = bench_matmul()
     details["matmul1024_f32_fwdbwd_s"] = round(dt, 6)
     details["matmul1024_f32_runs"] = runs
@@ -270,6 +297,7 @@ def main():
     details["matmul1024_f32_mfu"] = _mfu(3 * 2 * 1024 ** 3, dt)
     err(f"matmul 1024^2 f32 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['matmul1024_f32_mfu']})")
+    checkpoint_results()
 
     dt, runs, gf = bench_matmul(n=4096, iters=10, dtype=jnp.bfloat16)
     details["matmul4096_bf16_fwdbwd_s"] = round(dt, 6)
@@ -278,12 +306,14 @@ def main():
     details["matmul4096_bf16_mfu"] = _mfu(3 * 2 * 4096 ** 3, dt)
     err(f"matmul 4096^2 bf16 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['matmul4096_bf16_mfu']})")
+    checkpoint_results()
 
     dt, runs, gf = bench_conv()
     details["conv2d_fwdbwd_s"] = round(dt, 6)
     details["conv2d_runs"] = runs
     details["conv2d_fwdbwd_gflops"] = round(gf, 1)
     err(f"conv2d fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s")
+    checkpoint_results()
 
     dt, runs, gf = bench_bert_layer()
     details["bert_layer_f32_8x128_fwdbwd_s"] = round(dt, 5)
@@ -291,6 +321,7 @@ def main():
     details["bert_layer_f32_8x128_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"BERT layer f32 8x128 fwd+bwd: {dt*1e3:.2f}ms "
         f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_f32_8x128_mfu']})")
+    checkpoint_results()
 
     dt, runs, gf = bench_bert_layer(batch=8, seq=512, dtype=jnp.bfloat16)
     details["bert_layer_bf16_8x512_fwdbwd_s"] = round(dt, 5)
@@ -298,6 +329,7 @@ def main():
     details["bert_layer_bf16_8x512_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"BERT layer bf16 8x512 fwd+bwd: {dt*1e3:.2f}ms "
         f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_bf16_8x512_mfu']})")
+    checkpoint_results()
 
     dt, runs, gf = bench_attention_long()
     details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
@@ -306,6 +338,7 @@ def main():
     details["flash_attention_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"flash attention fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['flash_attention_s2048_mfu']})")
+    checkpoint_results()
 
     dt, runs, gf = bench_attention_long(dtype=jnp.bfloat16)
     details["flash_attention_bf16_s2048_fwdbwd_s"] = round(dt, 5)
@@ -314,6 +347,7 @@ def main():
     details["flash_attention_bf16_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"flash attention bf16 fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['flash_attention_bf16_s2048_mfu']})")
+    checkpoint_results()
 
     dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
     details["gpt2s_amp_train_step_s"] = round(dt, 5)
@@ -323,28 +357,9 @@ def main():
     details["gpt2s_params"] = int(n_params)
     err(f"GPT2-small ({n_params/1e6:.0f}M) AMP train 8x512: {dt*1e3:.1f}ms/step = "
         f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, mfu {details['gpt2s_amp_mfu']})")
+    checkpoint_results()
 
-    # baseline: reference CPU measured on this host
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "reference_cpu.json")
-    vs = None
-    if os.path.exists(ref_path):
-        ref = json.load(open(ref_path))
-        details["reference_cpu"] = ref
-        if ref.get("mnist_mlp_200steps_s"):
-            vs = round(ref["mnist_mlp_200steps_s"] / mnist_s, 2)
-
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "tpu_results.json")
-    with open(out_path, "w") as f:
-        json.dump(details, f, indent=2)
-
-    print(json.dumps({
-        "metric": "mnist_mlp_200steps_wallclock",
-        "value": round(mnist_s, 4),
-        "unit": "s",
-        "vs_baseline": vs if vs is not None else 0.0,
-    }))
+    checkpoint_results()
 
 
 if __name__ == "__main__":
