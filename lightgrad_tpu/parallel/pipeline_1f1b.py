@@ -264,3 +264,60 @@ def pipeline_train_1f1b(stage_fn, loss_fn, stacked_params, x_micro, y_micro,
         out_specs=(P(), pspec),
         check_vma=False,
     )(stacked_params, x_micro, y_micro)
+
+
+def module_stages(blocks):
+    """Bridge a list of P structurally-identical ``nn.Module`` blocks to the
+    ``(stage_fn, stacked_params)`` contract of :func:`pipeline_train_1f1b`.
+
+    The stage function runs the block's tape ops with its parameters' data
+    swapped for the traced stage arrays (the same re-trace trick as the step
+    compiler, jit.py), so a transformer block written against the eager
+    tensor API trains pipeline-parallel without a jax rewrite.  Gradients
+    come back as the same stacked {name: (P, ...)} dict.
+
+    Blocks run in inference-mode graph structure (ctx-free under no_grad --
+    jax.vjp supplies the differentiation), so python-level randomness like
+    Dropout must be disabled (``block.eval()``).
+    """
+    from ..autograd import Gradients
+    from ..autograd.tpu.tensor import TpuTensor
+
+    names = [n for n, _ in blocks[0].named_parameters()]
+    per_block = []
+    for b in blocks:
+        d = dict(b.named_parameters())
+        assert [n for n, _ in b.named_parameters()] == names, \
+            "pipeline blocks must be structurally identical"
+        per_block.append(d)
+    stacked = {
+        n: jnp.stack([pb[n].data for pb in per_block])
+        for n in names
+    }
+    proto = blocks[0]
+    proto_params = dict(proto.named_parameters())
+
+    def stage_fn(params, x):
+        old = [(p, p._raw_data()) for p in proto_params.values()]
+        try:
+            for n, p in proto_params.items():
+                p._set_data(params[n])
+            with Gradients.no_grad():
+                out = proto(TpuTensor(x, requires_grad=False))
+            return out.data
+        finally:
+            for p, d in old:
+                p._set_data(d)
+
+    return stage_fn, stacked
+
+
+def load_module_grads(blocks, grads):
+    """Write stacked 1F1B grads {name: (P, ...)} back onto each block's
+    parameter ``.grad`` slots (so existing optimizers drive the update)."""
+    from ..autograd.tpu.tensor import TpuTensor
+
+    for i, b in enumerate(blocks):
+        for n, p in b.named_parameters():
+            p.zero_grad()
+            p.add_grad(TpuTensor(grads[n][i], requires_grad=False))

@@ -105,3 +105,68 @@ def test_1f1b_schedule_properties():
             assert onef_oneb_ticks(M, P) == 2 * (M + P - 1), (M, P)
             assert peak_in_flight(M, P) <= min(P, M), (M, P)
             _arrival_tables(M, P)  # asserts internally
+
+
+@needs_mesh
+def test_module_stages_bridge():
+    """nn.Module blocks -> 1F1B via the data-swap bridge: gradients match
+    the eager tape running the same blocks sequentially."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.parallel.pipeline_1f1b import (
+        module_stages, load_module_grads)
+
+    pp, mb, dim, M = 4, 2, 8, 6
+    mesh = make_mesh(dp=1, tp=1, pp=pp)
+    np.random.seed(9)
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            return self.lin(x).tanh()
+
+    blocks = [Block() for _ in range(pp)]
+    for b in blocks:
+        b.map_parameters(lambda p: p.tpu())
+    stage_fn, stacked = module_stages(blocks)
+
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(M, mb, dim)).astype(np.float32))
+    ys = jnp.asarray(rng.normal(size=(M, mb, dim)).astype(np.float32))
+
+    def loss_fn(y, t):
+        return jnp.mean((y - t) ** 2)
+
+    loss, grads = pipeline_train_1f1b(
+        stage_fn, loss_fn, stacked, xs, ys, mesh)
+
+    # oracle: the same modules on the eager tape, sequential microbatches
+    total = None
+    for b in blocks:
+        for p in b.parameters():
+            p.zero_grad()
+    for m in range(M):
+        h = TpuTensor(xs[m], requires_grad=False)
+        for b in blocks:
+            h = b(h)
+        l = light.loss.mse(h, TpuTensor(ys[m], requires_grad=False)) * (2.0 / M)
+        # mse halves the square; our loss_fn does not -> x2
+        l.backward()
+        total = float(l.numpy()) + (total or 0.0)
+    np.testing.assert_allclose(float(loss), total, rtol=1e-5)
+    for i, b in enumerate(blocks):
+        for n, p in b.named_parameters():
+            np.testing.assert_allclose(
+                np.asarray(grads[n][i]), p.grad.numpy(),
+                rtol=1e-4, atol=1e-6, err_msg=f"block{i}.{n}")
+
+    # write-back path drives a standard optimizer
+    load_module_grads(blocks, grads)
+    w_before = blocks[0].lin.weight.numpy().copy()
+    optim = light.optim.SGD([p for b in blocks for p in b.parameters()], lr=0.5)
+    optim.step()
+    assert not np.allclose(w_before, blocks[0].lin.weight.numpy())
