@@ -82,6 +82,48 @@ def bench_mnist_mlp(light, steps=200, batch=128):
     return dt, float(loss.item())
 
 
+def bench_mnist_cnn(light, steps=200, batch=128):
+    """Reference examples/mnist.py CNN config (reference mnist.py:12-22):
+    Conv2d(1,8,k3,valid,no-bias) -> max_pool -> relu, Conv2d(8,16,k3,valid,
+    no-bias) -> max_pool -> relu, Linear(400,10); trained with the same
+    one-hot + MSE / AdaBelief protocol as the MLP row (the reference's
+    OpenCL-compatible loss path, mnist.py:57-60)."""
+    import lightgrad.nn as nn
+
+    xs, ys = synthetic_mnist(steps * batch + batch)
+
+    class CNN(nn.Module):
+        def __init__(self):
+            nn.Module.__init__(self)
+            self.c1 = nn.Conv2d(1, 8, kernelsize=3, bias=False, pad=0)
+            self.c2 = nn.Conv2d(8, 16, kernelsize=3, bias=False, pad=0)
+            self.l1 = nn.Linear(5 * 5 * 16, 10)
+
+        def forward(self, x):
+            y = self.c1(x).max_pool().relu()
+            y = self.c2(y).max_pool().relu()
+            return self.l1(y.reshape(-1, 5 * 5 * 16))
+
+    np.random.seed(0)
+    model = CNN()
+    optim = light.optim.AdaBelief(model.parameters(), lr=1e-3)
+    t = light.Tensor.from_numpy
+    t0 = time.perf_counter()
+    for i in range(steps):
+        x = t(xs[i * batch : (i + 1) * batch].reshape(batch, 1, 28, 28),
+              requires_grad=False)
+        y_np = ys[i * batch : (i + 1) * batch]
+        one_hot = np.zeros((batch, 10), np.float32)
+        one_hot[np.arange(batch), y_np] = 1
+        out = model(x)
+        loss = light.loss.mse(out, t(one_hot, requires_grad=False))
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+    dt = time.perf_counter() - t0
+    return dt, float(loss.item())
+
+
 def bench_gradient_descent(light, epochs=100):
     np.random.seed(3)
     a = light.Tensor.uniform(-1, 1, (64, 64))
@@ -161,6 +203,9 @@ def main():
     dt, loss = bench_mnist_mlp(light)
     results["mnist_mlp_200steps_s"] = round(dt, 3)
     print("mnist mlp 200 steps:", dt, "loss", loss)
+    dt, loss = bench_mnist_cnn(light)
+    results["mnist_cnn_200steps_s"] = round(dt, 3)
+    print("mnist cnn 200 steps:", dt, "loss", loss)
     dt, gf = bench_matmul(light)
     results["matmul1024_fwdbwd_s"] = round(dt, 4)
     results["matmul1024_fwdbwd_gflops"] = round(gf, 1)

@@ -42,12 +42,16 @@ def on_tpu() -> bool:
     global _on_tpu
     if _on_tpu is None:
         _on_tpu = jax.default_backend() == "tpu"
-        if os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
-            # persistent compilation cache: the eager tape compiles one small
-            # XLA program per (op, shape) -- caching across processes removes
-            # the dominant first-run latency (especially over tunneled TPU
-            # connections).  One cache dir per platform: mixing them makes
-            # the CPU AOT loader warn about machine-feature mismatches.
+        # Persistent compilation cache: the eager tape compiles one small
+        # XLA program per (op, shape) -- caching across processes removes
+        # the dominant first-run latency (especially over tunneled TPU
+        # connections).  TPU-only: the XLA:CPU AOT loader pins exact host
+        # machine features at write time and then rejects its own entries
+        # with one multi-KB warning per load (cpu_aot_loader.cc) -- a CPU
+        # cache is pure stderr flood on this class of host.  Opt back in
+        # with LIGHTGRAD_CPU_COMPILE_CACHE=1 on hosts where it works.
+        want_cache = _on_tpu or os.environ.get("LIGHTGRAD_CPU_COMPILE_CACHE") == "1"
+        if want_cache and os.environ.get("LIGHTGRAD_NO_COMPILE_CACHE") != "1":
             suffix = "" if _on_tpu else f"_{jax.default_backend()}"
             cache_dir = os.environ.get(
                 "LIGHTGRAD_COMPILE_CACHE",
@@ -55,7 +59,12 @@ def on_tpu() -> bool:
             )
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+            # On TPU, keep fast CPU-staged recording compiles OUT of the
+            # cache (they are what poisons it with AOT entries): every
+            # tunneled TPU compile takes >1s, local per-op CPU compiles
+            # don't, so a 1s floor separates them cleanly.
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              1.0 if _on_tpu else 0.0)
     return _on_tpu
 
 

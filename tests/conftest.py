@@ -20,3 +20,26 @@ if os.environ.get("LIGHTGRAD_TEST_TPU") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-minute interpret-mode workloads)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test, skipped unless --runslow or LIGHTGRAD_RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("LIGHTGRAD_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow: use --runslow (or LIGHTGRAD_RUN_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

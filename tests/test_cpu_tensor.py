@@ -25,7 +25,7 @@ def cpu_check(*args, **kwargs):
 
 # --- transformations -------------------------------------------------------
 def test_transpose():
-    cpu_check(CpuTensor.transpose, shapes=[(45, 65)])
+    cpu_check(CpuTensor.transpose, shapes=[(23, 33)])  # (45,65) was 35s of O(n^2) jacobian
 
 
 def test_reshape():

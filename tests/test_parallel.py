@@ -313,8 +313,12 @@ def test_moe_tie_break_deterministic():
     np.testing.assert_allclose(moe.aux_loss.item(), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_moe_large_token_count_no_quadratic_buffer():
-    """T=16384 tokens runs through sparse dispatch (a (T,T) tril would be 1 GiB)."""
+    """T=16384 tokens runs through sparse dispatch (a (T,T) tril would be 1 GiB).
+
+    22 minutes in interpret mode (VERDICT r2 #8) -> slow-marked; the default
+    run covers the same non-quadratic property at T=4096 below."""
     import lightgrad_tpu.nn as nn
     from lightgrad_tpu.autograd import TpuTensor
 
@@ -323,6 +327,19 @@ def test_moe_large_token_count_no_quadratic_buffer():
     t = np.random.uniform(-1, 1, (16384, 16)).astype(np.float32)
     y = moe(TpuTensor.from_numpy(t, requires_grad=False))
     assert y.shape == (16384, 16)
+    assert np.isfinite(y.numpy()).all()
+
+
+def test_moe_medium_token_count_no_quadratic_buffer():
+    """T=4096 through sparse top-k dispatch (fast lane of the test above)."""
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(9)
+    moe = nn.MoE(dim=16, hidden=32, n_experts=8, dispatch="topk", k=2)
+    t = np.random.uniform(-1, 1, (4096, 16)).astype(np.float32)
+    y = moe(TpuTensor.from_numpy(t, requires_grad=False))
+    assert y.shape == (4096, 16)
     assert np.isfinite(y.numpy()).all()
 
 
@@ -388,6 +405,7 @@ def test_interleaved_pipeline_matches_sequential():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_interleaved_pipeline_multiwave():
     """n_micro > P: waves of P microbatches pack back-to-back with no
     inter-wave bubble (a full wave keeps every device busy P*V ticks)."""

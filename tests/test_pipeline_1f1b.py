@@ -108,6 +108,7 @@ def test_1f1b_schedule_properties():
 
 
 @needs_mesh
+@pytest.mark.slow
 def test_module_stages_bridge():
     """nn.Module blocks -> 1F1B via the data-swap bridge: gradients match
     the eager tape running the same blocks sequentially."""
