@@ -15,6 +15,19 @@ from .autograd import Tensor, AbstractTensor
 __all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
 
 
+def _fan_in_uniform(shape, fan_in):
+    """Layer-default initializer: ``U(-1/sqrt(fan_in), +1/sqrt(fan_in))``.
+
+    The reference initializes every layer with ``Tensor.xavier`` =
+    ``U(-1,1)/sqrt(numel)`` (reference tensor.py:86-89), which shrinks with
+    the TOTAL element count -- for a (16,8,3,3) conv that is 5.7x smaller
+    than the proper fan-in scale and measurably stalls CNN training (round-2
+    smoke: 0.17 accuracy after 57 steps).  ``Tensor.xavier`` is kept for API
+    parity; the layers themselves use fan-in scaling (torch's default)."""
+    bound = 1.0 / float(np.sqrt(fan_in))
+    return Tensor.uniform(-bound, bound, shape)
+
+
 class Module:
     def __init__(self):
         object.__setattr__(self, "_params", {})
@@ -109,8 +122,17 @@ class Module:
             m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
 
     def state_dict(self, prefix: str = "", separator: str = ".") -> dict:
-        """name -> np.ndarray snapshot (the save path the reference lacked)."""
-        return {n: p.numpy() for n, p in self.named_parameters(prefix, separator)}
+        """name -> np.ndarray snapshot (the save path the reference lacked).
+
+        Recurses through submodules (rather than flat-walking
+        ``named_parameters``) so modules with a virtual parameter layout --
+        e.g. ``ScannedStack``, which stores L layers as stacked tensors but
+        checkpoints them under per-layer names -- can override it."""
+        pfx = (prefix + separator) if prefix else ""
+        out = {pfx + n: p.numpy() for n, p in self._params.items()}
+        for name, m in self._modules.items():
+            out.update(m.state_dict(prefix=pfx + name, separator=separator))
+        return out
 
 
 class ModuleList(Module, list):
@@ -134,8 +156,8 @@ class ModuleList(Module, list):
 class Linear(Module):
     def __init__(self, in_feats: int, out_feats: int, bias: bool = True):
         super().__init__()
-        self.weight = Tensor.xavier((out_feats, in_feats))
-        self.bias = Tensor.xavier((out_feats,)) if bias else None
+        self.weight = _fan_in_uniform((out_feats, in_feats), in_feats)
+        self.bias = _fan_in_uniform((out_feats,), in_feats) if bias else None
 
     def forward(self, x):
         y = x @ self.weight.T(1, 0)
@@ -156,9 +178,10 @@ class Conv2d(Module):
         super().__init__()
         assert in_channels % groups == 0 and out_channels % groups == 0, \
             f"groups={groups} must divide channels ({in_channels}, {out_channels})"
-        self.w = Tensor.xavier(
-            (out_channels, in_channels // groups, kernelsize, kernelsize))
-        self.b = Tensor.xavier((1, out_channels, 1, 1)) if bias else None
+        fan_in = (in_channels // groups) * kernelsize * kernelsize
+        self.w = _fan_in_uniform(
+            (out_channels, in_channels // groups, kernelsize, kernelsize), fan_in)
+        self.b = _fan_in_uniform((1, out_channels, 1, 1), fan_in) if bias else None
         self.s, self.d, self.g = stride, dilation, groups
         k_eff = (kernelsize - 1) * dilation + 1
         if pad is None:
@@ -252,8 +275,8 @@ class MoE(Module):
         assert 1 <= self.k <= n_experts, (self.k, n_experts)
         self.normalize_gates = normalize_gates
         self.router = Linear(dim, n_experts, bias=False)
-        self.w1 = Tensor.xavier((n_experts, dim, hidden))
-        self.w2 = Tensor.xavier((n_experts, hidden, dim))
+        self.w1 = _fan_in_uniform((n_experts, dim, hidden), dim)
+        self.w2 = _fan_in_uniform((n_experts, hidden, dim), hidden)
 
     def _dense(self, t, n_tok, dim):
         gates = self.router(t).softmax(axis=-1)      # (T, E)
