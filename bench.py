@@ -13,10 +13,17 @@ TFLOP/s and MFU against the v5e bf16 peak (197 TF/s).  Detailed
 sub-benchmarks go to stderr and benchmarks/tpu_results.json.
 """
 
+import atexit
 import json
 import os
+import signal
 import sys
 import time
+
+# silence XLA C++ log spam (e.g. cpu_aot_loader machine-feature warnings):
+# the driver parses the TAIL of this process's output, and round 2 lost its
+# headline to thousands of stderr warning lines.  Must precede jax import.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -30,6 +37,46 @@ from benchmarks.bench_util import time_median
 err = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 V5E_BF16_PEAK = 197e12
+
+# wall-clock budget: skip remaining stages (and emit the headline) before the
+# driver's timeout can kill the process mid-stage with nothing captured
+BENCH_START = time.time()
+BUDGET_S = float(os.environ.get("LIGHTGRAD_BENCH_BUDGET_S", "2100"))
+
+_headline = None          # set once the headline stage completes
+_headline_emitted_final = False
+
+
+def _emit_headline():
+    """Print the headline JSON; called again at exit so it is the LAST line."""
+    if _headline is not None:
+        print(json.dumps(_headline), flush=True)
+
+
+def _exit_emit():
+    global _headline_emitted_final
+    if not _headline_emitted_final:
+        _headline_emitted_final = True
+        _emit_headline()
+
+
+def _sig_emit(signum, frame):
+    _exit_emit()
+    os._exit(124)
+
+
+atexit.register(_exit_emit)
+signal.signal(signal.SIGTERM, _sig_emit)
+signal.signal(signal.SIGINT, _sig_emit)
+
+
+def _over_budget(stage, est_s=0.0):
+    left = BUDGET_S - (time.time() - BENCH_START)
+    if left < est_s:
+        err(f"skipping {stage}: {left:.0f}s left of {BUDGET_S:.0f}s budget "
+            f"(needs ~{est_s:.0f}s)")
+        return True
+    return False
 
 
 def _mfu(flops, dt):
@@ -60,6 +107,67 @@ def bench_mnist_mlp(steps=200, batch=128, repeats=5):
     oh_all = np.zeros((len(ys), 10), np.float32)
     oh_all[np.arange(len(ys)), ys] = 1
     xs_dev = TpuTensor.from_numpy(xs.reshape(len(xs), -1), requires_grad=False)
+    oh_dev = TpuTensor.from_numpy(oh_all, requires_grad=False)
+
+    def step(off):
+        x = xs_dev.narrow(off, batch)
+        y1h = oh_dev.narrow(off, batch)
+        loss = light.loss.mse(model(x), y1h)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss
+
+    fn = light.jit(step)
+    offs = [
+        TpuTensor.from_numpy(np.int32(i * batch), requires_grad=False)
+        for i in range(steps)
+    ]
+    for i in range(3):
+        loss = fn(offs[i])
+    loss.numpy()
+    vals = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            loss = fn(offs[i])
+        loss.numpy()
+        vals.append(round(time.perf_counter() - t0, 4))
+    return float(np.median(vals)), vals, float(loss.item())
+
+
+def bench_mnist_cnn(steps=200, batch=128, repeats=5):
+    """The north-star metric (BASELINE.json): MNIST-CNN training wall-clock.
+
+    Exact reference architecture (reference examples/mnist.py:12-22):
+    Conv2d(1,8,k3,valid,no-bias) -> max_pool -> relu, Conv2d(8,16,k3,valid,
+    no-bias) -> max_pool -> relu, Linear(400,10); one-hot + MSE, AdaBelief
+    lr=1e-3, batch 128 -- the same protocol the reference-CPU row is
+    measured with (benchmarks/reference_baseline.py::bench_mnist_cnn)."""
+    from lightgrad_tpu.data import _synthetic_digits
+
+    xs, ys = _synthetic_digits(steps * batch + batch)
+
+    class CNN(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c1 = nn.Conv2d(1, 8, kernelsize=3, bias=False, pad=0)
+            self.c2 = nn.Conv2d(8, 16, kernelsize=3, bias=False, pad=0)
+            self.l1 = nn.Linear(5 * 5 * 16, 10)
+
+        def forward(self, x):
+            y = self.c1(x).max_pool().relu()
+            y = self.c2(y).max_pool().relu()
+            return self.l1(y.reshape(-1, 5 * 5 * 16))
+
+    np.random.seed(0)
+    model = CNN()
+    optim = light.optim.AdaBelief(model.parameters(), lr=1e-3)
+
+    oh_all = np.zeros((len(ys), 10), np.float32)
+    oh_all[np.arange(len(ys)), ys] = 1
+    xs_dev = TpuTensor.from_numpy(
+        xs.reshape(len(xs), 1, 28, 28), requires_grad=False)
     oh_dev = TpuTensor.from_numpy(oh_all, requires_grad=False)
 
     def step(off):
@@ -206,13 +314,18 @@ def bench_attention_long(iters=10, bh=96, s=2048, d=64, dtype=None):
 def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
     """End-to-end GPT-2-small-class training step under master-weight AMP
     (bf16 compute, f32 masters): the production configuration.  Reports
-    tokens/s and MFU using the 6*N*T transformer-FLOPs rule."""
+    tokens/s and MFU using the 6*N*T transformer-FLOPs rule.
+
+    ``scan_layers``: the 12 blocks run as ONE ``lax.scan`` (lightgrad_tpu/
+    scan.py), so the whole-step program compiles in O(1) of depth instead of
+    the 20-40 min cold inline compile that killed the round-2 driver bench
+    (VERDICT r2 #1/#2)."""
     import jax.numpy as jnp
     from lightgrad_tpu.models.gpt import GPT, GPTConfig
 
     np.random.seed(0)
     cfg = GPTConfig(vocab_size=50304, n_positions=seq, n_embd=768,
-                    n_layer=12, n_head=12)
+                    n_layer=12, n_head=12, scan_layers=True)
     model = GPT(cfg)
     mp = light.amp.MixedPrecision(model, lambda ps: light.optim.Adam(ps, lr=3e-4))
     n_params = sum(p.numel() for p in model.parameters())
@@ -241,6 +354,7 @@ def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
 
 
 def main():
+    global _headline
     import jax
     import jax.numpy as jnp
 
@@ -250,7 +364,13 @@ def main():
         "protocol": "median of >=5 regions; per-region values recorded",
         "peak_ref_tflops_bf16": V5E_BF16_PEAK / 1e12,
     }
-    err(f"device: {details['device']}, kernels: {details['kernel_mode']}")
+    err(f"device: {details['device']}, kernels: {details['kernel_mode']}, "
+        f"budget {BUDGET_S:.0f}s")
+
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks", "reference_cpu.json")
+    ref = json.load(open(ref_path)) if os.path.exists(ref_path) else {}
+    details["reference_cpu"] = ref
 
     dt, runs = bench_gradient_descent()
     details["gradient_descent_100epochs_s"] = round(dt, 4)
@@ -263,26 +383,32 @@ def main():
     details["mnist_final_loss"] = round(final_loss, 4)
     err(f"mnist mlp 200 steps: median {mnist_s:.4f}s {runs} (loss {final_loss:.4f})")
 
-    # headline JSON line goes out NOW: the detailed stages below include a
-    # whole-model compile that can outlive a driver timeout, and a killed
-    # process must not take the headline with it
-    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "reference_cpu.json")
-    vs = None
-    if os.path.exists(ref_path):
-        ref = json.load(open(ref_path))
-        details["reference_cpu"] = ref
-        if ref.get("mnist_mlp_200steps_s"):
-            vs = round(ref["mnist_mlp_200steps_s"] / mnist_s, 2)
-    print(json.dumps({
-        "metric": "mnist_mlp_200steps_wallclock",
-        "value": round(mnist_s, 4),
+    # headline stage: MNIST-CNN training wall-clock (the BASELINE.json
+    # north-star metric) vs the measured reference-CPU CNN.  The headline is
+    # printed now AND re-printed as the very last line at process exit
+    # (atexit + SIGTERM hook), so a timeout cannot erase it.
+    cnn_s, runs, cnn_loss = bench_mnist_cnn()
+    details["mnist_cnn_200steps_s"] = round(cnn_s, 4)
+    details["mnist_cnn_runs"] = runs
+    details["mnist_cnn_final_loss"] = round(cnn_loss, 4)
+    vs = (round(ref["mnist_cnn_200steps_s"] / cnn_s, 2)
+          if ref.get("mnist_cnn_200steps_s") else 0.0)
+    err(f"mnist CNN 200 steps: median {cnn_s:.4f}s {runs} (loss {cnn_loss:.4f}, "
+        f"{vs}x reference CPU)")
+    _headline = {
+        "metric": "mnist_cnn_200steps_wallclock",
+        "value": round(cnn_s, 4),
         "unit": "s",
-        "vs_baseline": vs if vs is not None else 0.0,
-    }), flush=True)
+        "vs_baseline": vs,
+    }
+    _emit_headline()
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "benchmarks", "tpu_results.json")
+    # detailed results go to an UNTRACKED path (driver runs must leave the
+    # tree clean -- VERDICT r2 #9); committed snapshots are copied explicitly
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "benchmarks", "results")
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "tpu_results.json")
 
     def checkpoint_results():
         with open(out_path, "w") as f:
@@ -331,6 +457,8 @@ def main():
         f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_bf16_8x512_mfu']})")
     checkpoint_results()
 
+    if _over_budget("flash attention stages", est_s=180):
+        return
     dt, runs, gf = bench_attention_long()
     details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
     details["flash_attention_s2048_runs"] = runs
@@ -349,6 +477,12 @@ def main():
         f"(mfu {details['flash_attention_bf16_s2048_mfu']})")
     checkpoint_results()
 
+    # GPT-2 last: the most expensive stage (whole-model compile when the
+    # persistent TPU cache is cold).  Scan-over-layers recording keeps the
+    # cold compile bounded; the budget guard keeps a cold cache from eating
+    # the driver timeout.
+    if _over_budget("GPT-2 AMP train stage", est_s=300):
+        return
     dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
     details["gpt2s_amp_train_step_s"] = round(dt, 5)
     details["gpt2s_amp_train_runs"] = runs
@@ -359,6 +493,20 @@ def main():
         f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, mfu {details['gpt2s_amp_mfu']})")
     checkpoint_results()
 
+    # larger per-chip token count (16x1024 = 4x the tokens): the MFU-relevant
+    # production configuration -- 8x512 keeps M=4096 GEMMs far under the MXU's
+    # efficiency knee (VERDICT r2 #4 lever list)
+    if _over_budget("GPT-2 AMP 16x1024 stage", est_s=240):
+        return
+    dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp(
+        batch=16, seq=1024, iters=5, repeats=5)
+    details["gpt2s_amp_16x1024_step_s"] = round(dt, 5)
+    details["gpt2s_amp_16x1024_runs"] = runs
+    details["gpt2s_amp_16x1024_tokens_per_s"] = round(tok_s, 1)
+    details["gpt2s_amp_16x1024_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
+    err(f"GPT2-small AMP train 16x1024: {dt*1e3:.1f}ms/step = "
+        f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, "
+        f"mfu {details['gpt2s_amp_16x1024_mfu']})")
     checkpoint_results()
 
 

@@ -21,7 +21,8 @@ class BertConfig:
     def __init__(self, vocab_size=30522, hidden_size=768, num_hidden_layers=12,
                  num_attention_heads=12, intermediate_size=3072,
                  max_position_embeddings=512, type_vocab_size=2,
-                 layer_norm_eps=1e-12, **unused):
+                 layer_norm_eps=1e-12, scan_layers=False, remat=False,
+                 **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.num_hidden_layers = num_hidden_layers
@@ -30,6 +31,10 @@ class BertConfig:
         self.max_position_embeddings = max_position_embeddings
         self.type_vocab_size = type_vocab_size
         self.layer_norm_eps = layer_norm_eps
+        # lax.scan over stacked layer params (lightgrad_tpu/scan.py):
+        # O(1) compile size in depth; remat recomputes block activations
+        self.scan_layers = scan_layers
+        self.remat = remat
 
 
 class BertEmbedding(nn.Module):
@@ -69,12 +74,25 @@ class BertSelfAttention(nn.Module):
         # (b, s, h) -> (b, heads, s, head_dim)
         return x.reshape(b, s, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def forward(self, x, mask=None):
+    def forward(self, x, mask=None, output_attentions: bool = False):
+        """``output_attentions=True`` materializes and returns the softmax
+        probabilities alongside the context -- the reference's
+        ``BertSelfAttention.forward`` return contract (reference
+        examples/bert.py:88), as a debugging escape hatch.  The fused
+        flash/ring paths never materialize scores, so requesting them forces
+        the materialized path (O(s^2) memory -- debugging only)."""
         b, s, h = x.shape
         q = self._split(self.query(x), b, s)
         k = self._split(self.key(x), b, s)
         v = self._split(self.value(x), b, s)
         scale = 1.0 / np.sqrt(self.head_dim)
+        if output_attentions:
+            scores = (q @ k.transpose(0, 1, 3, 2)) * scale
+            if mask is not None:
+                scores = scores + mask
+            probs = scores.softmax(axis=-1)
+            ctx = probs @ v
+            return ctx.transpose(0, 2, 1, 3).reshape(b, s, h), probs
         sp = getattr(self, "_sequence_parallel", None)
         if mask is None and sp is not None and hasattr(q, "ring_attention"):
             # sequence-parallel ring attention: K/V chunks stay sharded on
@@ -122,7 +140,13 @@ class BertModel(nn.Module):
         super().__init__()
         self.cfg = cfg
         self.embeddings = BertEmbedding(cfg)
-        self.layer = nn.ModuleList(*[BertLayer(cfg) for _ in range(cfg.num_hidden_layers)])
+        blocks = [BertLayer(cfg) for _ in range(cfg.num_hidden_layers)]
+        if getattr(cfg, "scan_layers", False):
+            from lightgrad_tpu.scan import ScannedStack
+
+            self.layer = ScannedStack(blocks, remat=getattr(cfg, "remat", False))
+        else:
+            self.layer = nn.ModuleList(*blocks)
 
     def forward(self, input_ids, attention_mask=None, token_type_ids=None):
         mask = None
@@ -132,8 +156,11 @@ class BertModel(nn.Module):
                 attention_mask.shape[0], 1, 1, attention_mask.shape[1]
             )) * -1e9
         x = self.embeddings(input_ids, token_type_ids)
-        for layer in self.layer:
-            x = layer(x, mask)
+        if isinstance(self.layer, nn.ModuleList):
+            for layer in self.layer:
+                x = layer(x, mask)
+        else:
+            x = self.layer(x, mask)  # ScannedStack: mask broadcast per layer
         return x
 
 

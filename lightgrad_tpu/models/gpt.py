@@ -46,13 +46,21 @@ def _sample(logits: np.ndarray, temperature: float, rng,
 
 class GPTConfig:
     def __init__(self, vocab_size=50257, n_positions=1024, n_embd=768,
-                 n_layer=12, n_head=12, layer_norm_epsilon=1e-5, **unused):
+                 n_layer=12, n_head=12, layer_norm_epsilon=1e-5,
+                 scan_layers=False, remat=False, **unused):
         self.vocab_size = vocab_size
         self.n_positions = n_positions
         self.n_embd = n_embd
         self.n_layer = n_layer
         self.n_head = n_head
         self.layer_norm_epsilon = layer_norm_epsilon
+        # scan_layers: hold the L blocks as stacked (L, ...) parameters and
+        # apply them with one lax.scan (O(1) compile size in depth --
+        # lightgrad_tpu/scan.py); remat additionally rematerializes block
+        # activations in backward (checkpointing: memory ~O(sqrt-ish), +1
+        # forward of compute)
+        self.scan_layers = scan_layers
+        self.remat = remat
 
 
 class CausalSelfAttention(nn.Module):
@@ -103,15 +111,24 @@ class GPT(nn.Module):
         self.cfg = cfg
         self.wte = nn.Embedding(cfg.vocab_size, cfg.n_embd)
         self.wpe = nn.Embedding(cfg.n_positions, cfg.n_embd)
-        self.h = nn.ModuleList(*[GPTBlock(cfg) for _ in range(cfg.n_layer)])
+        blocks = [GPTBlock(cfg) for _ in range(cfg.n_layer)]
+        if getattr(cfg, "scan_layers", False):
+            from lightgrad_tpu.scan import ScannedStack
+
+            self.h = ScannedStack(blocks, remat=getattr(cfg, "remat", False))
+        else:
+            self.h = nn.ModuleList(*blocks)
         self.ln_f = nn.LayerNorm(cfg.n_embd, eps=cfg.layer_norm_epsilon)
 
     def forward(self, input_ids):
         b, s = input_ids.shape
         pos = Tensor.from_numpy(np.arange(s, dtype=np.int32), requires_grad=False)
         x = self.wte(input_ids) + self.wpe(pos)
-        for block in self.h:
-            x = block(x)
+        if isinstance(self.h, nn.ModuleList):
+            for block in self.h:
+                x = block(x)
+        else:
+            x = self.h(x)  # ScannedStack: one lax.scan over stacked layers
         x = self.ln_f(x)
         # weight-tied LM head: logits = x @ wte^T
         return x @ self.wte.weight.T(1, 0)
@@ -185,6 +202,11 @@ class GPT(nn.Module):
             if not isinstance(buf, jnp.ndarray):
                 raise _NotJaxBacked(type(buf).__name__)
             p[name] = buf
+        if not isinstance(self.h, nn.ModuleList):
+            # scanned stack: expose per-layer views under the flat h.{l}. names
+            for l in range(L):
+                for n, arr in self.h.layer_params(l).items():
+                    p[f"h.{l}.{n}"] = arr
         # python float (weak-typed) so bf16 models stay bf16 end to end
         scale = float(1.0 / np.sqrt(hd))
 

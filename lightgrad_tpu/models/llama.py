@@ -28,7 +28,7 @@ class LlamaConfig:
                  num_hidden_layers=4, num_attention_heads=8,
                  num_key_value_heads=None, max_position_embeddings=2048,
                  rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
-                 **unused):
+                 scan_layers=False, remat=False, **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -39,6 +39,9 @@ class LlamaConfig:
         self.rms_norm_eps = rms_norm_eps
         self.rope_theta = rope_theta
         self.tie_word_embeddings = tie_word_embeddings
+        # lax.scan over stacked layer params (lightgrad_tpu/scan.py)
+        self.scan_layers = scan_layers
+        self.remat = remat
 
 
 class RMSNorm(nn.Module):
@@ -150,15 +153,24 @@ class Llama(nn.Module):
         super().__init__()
         self.cfg = cfg
         self.embed_tokens = nn.Embedding(cfg.vocab_size, cfg.hidden_size)
-        self.layers = nn.ModuleList(*[LlamaLayer(cfg) for _ in range(cfg.num_hidden_layers)])
+        blocks = [LlamaLayer(cfg) for _ in range(cfg.num_hidden_layers)]
+        if getattr(cfg, "scan_layers", False):
+            from lightgrad_tpu.scan import ScannedStack
+
+            self.layers = ScannedStack(blocks, remat=getattr(cfg, "remat", False))
+        else:
+            self.layers = nn.ModuleList(*blocks)
         self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, bias=False)
 
     def forward(self, input_ids):
         x = self.embed_tokens(input_ids)
-        for layer in self.layers:
-            x = layer(x)
+        if isinstance(self.layers, nn.ModuleList):
+            for layer in self.layers:
+                x = layer(x)
+        else:
+            x = self.layers(x)  # ScannedStack: one lax.scan over the stack
         x = self.norm(x)
         if self.cfg.tie_word_embeddings:
             return x @ self.embed_tokens.weight.T(1, 0)
@@ -220,6 +232,11 @@ class Llama(nn.Module):
             if not isinstance(buf, jnp.ndarray):
                 raise _NotJaxBacked(type(buf).__name__)
             p[name] = buf
+        if not isinstance(self.layers, nn.ModuleList):
+            # scanned stack: expose per-layer views under layers.{l}. names
+            for l in range(L):
+                for n, arr in self.layers.layer_params(l).items():
+                    p[f"layers.{l}.{n}"] = arr
         # python float (weak-typed): np.float64 scalars would promote every
         # bf16 score to f32 and poison the residual stream
         scale = float(1.0 / np.sqrt(hd))

@@ -98,9 +98,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(lse_ref.dtype)
 
 
+# default flash block shape; overridable per-call (benchmarks/flash_tune.py
+# sweeps these in-program on hardware)
+_FLASH_BQ, _FLASH_BK = 256, 512
+
+
+def set_flash_blocks(bq: int, bk: int):
+    """Override the flash block shape (tuning harness hook)."""
+    global _FLASH_BQ, _FLASH_BK
+    prev = (_FLASH_BQ, _FLASH_BK)
+    _FLASH_BQ, _FLASH_BK = bq, bk
+    _build.cache_clear()
+    return prev
+
+
 def _attn_blocks(s):
-    bq = min(256, max(8, (min(s, 256) // 8) * 8))
-    bk = min(512, s if s % 128 == 0 else s)
+    bq = min(_FLASH_BQ, max(8, (min(s, _FLASH_BQ) // 8) * 8))
+    bk = min(_FLASH_BK, s if s % 128 == 0 else s)
     return bq, min(bk, 2048)
 
 
@@ -310,15 +324,50 @@ def _build(which, scale, mode, causal):
     return jax.jit(impl)
 
 
+# jax-differentiable attention: pallas kernels have no automatic
+# differentiation rule, so anything running attention under jax.vjp/jax.grad
+# (scan-over-layers, module_stages pipelines, plain jax callers) needs this
+# custom VJP.  The lse output's cotangent is honored on the pallas path (the
+# dcap shift in _flash_bwd); the tape op discards lse so it is zero there.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attn_res(q, k, v, scale, causal, mode):
+    return _build("fwd_res", scale, mode, causal)(q, k, v)
+
+
+def _attn_res_fwd(q, k, v, scale, causal, mode):
+    out, lse = _build("fwd_res", scale, mode, causal)(q, k, v)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _attn_res_bwd(scale, causal, mode, res, cts):
+    q, k, v, out, lse = res
+    g, glse = cts
+    if mode == "pallas":
+        shape = q.shape
+        s, d = shape[-2], shape[-1]
+        b = prod(shape[:-2])
+        dq, dk, dv = _flash_bwd(
+            g.astype(q.dtype).reshape(b, s, d), q.reshape(b, s, d),
+            k.reshape(b, s, d), v.reshape(b, s, d), out.reshape(b, s, d),
+            lse.reshape(b, s, 1), scale, causal,
+            dlse=glse.reshape(b, s, 1))
+        return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+    return _build("bwd", scale, mode, causal)(g, q, k, v, out, lse)
+
+
+_attn_res.defvjp(_attn_res_fwd, _attn_res_bwd)
+
+
 def attention_fwd(q, k, v, scale: float, causal: bool = False):
     mode = resolve_mode("attention", seq=q.shape[-2])
     return _build("fwd", float(scale), mode, causal)(q, k, v)
 
 
 def attention_fwd_res(q, k, v, scale: float, causal: bool = False):
-    """Forward returning (out, lse) -- residuals for the flash backward."""
+    """Forward returning (out, lse) -- residuals for the flash backward.
+    Differentiable under jax.vjp (custom VJP above)."""
     mode = resolve_mode("attention", seq=q.shape[-2])
-    return _build("fwd_res", float(scale), mode, causal)(q, k, v)
+    return _attn_res(q, k, v, float(scale), causal, mode)
 
 
 def attention_bwd(g, q, k, v, scale: float, causal: bool = False,

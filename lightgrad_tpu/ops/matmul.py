@@ -207,6 +207,47 @@ def _route(a, b):
     return "xla", None
 
 
+def _reduce_to(x, shape):
+    """Sum ``x`` down to ``shape`` (undo batch broadcasting in backward)."""
+    extra = x.ndim - len(shape)
+    if extra:
+        x = x.sum(axis=tuple(range(extra)))
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1)
+    if axes:
+        x = x.sum(axis=axes, keepdims=True)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_vjp(blocks):
+    """jax-differentiable pallas GEMM (one instance per block config).
+
+    ``pallas_call`` has no automatic differentiation rule, so anything that
+    runs the hand-written GEMM under ``jax.vjp``/``jax.grad`` -- the
+    scan-over-layers recorder (lightgrad_tpu/scan.py), ``module_stages``
+    pipelines, plain jax user code -- needs this custom VJP.  The backward
+    re-enters :func:`matmul`, so gradient GEMMs take their own measured
+    routing."""
+
+    @jax.custom_vjp
+    def mm(a, b):
+        return _matmul_impl(a, b, "pallas", blocks=blocks)
+
+    def fwd(a, b):
+        return mm(a, b), (a, b)
+
+    def bwd(res, g):
+        a, b = res
+        ga = _reduce_to(matmul(g, jnp.swapaxes(b, -1, -2)), a.shape)
+        gb = _reduce_to(matmul(jnp.swapaxes(a, -1, -2), g), b.shape)
+        return ga, gb
+
+    mm.defvjp(fwd, bwd)
+    return jax.jit(mm)
+
+
 def matmul(a, b):
     mode, blocks = _route(a, b)
+    if mode == "pallas":
+        return _pallas_vjp(blocks)(a, b)
     return _build(mode, blocks)(a, b)
