@@ -64,6 +64,58 @@ print(f"WORKER_OK {pid} {float(np.abs(got).sum()):.6f}", flush=True)
 """
 
 
+_TRAIN_WORKER = r"""
+import os, sys
+port, pid = sys.argv[1], int(sys.argv[2])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from lightgrad_tpu.parallel import distributed
+assert distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                              process_id=pid)
+
+import numpy as np
+import lightgrad_tpu as light
+import lightgrad_tpu.nn as nn
+from lightgrad_tpu.autograd import TpuTensor
+from lightgrad_tpu.parallel import make_mesh, shard_module
+from lightgrad_tpu.parallel.distributed import distribute_batch
+from jax.sharding import PartitionSpec as P
+
+mesh = make_mesh(dp=4)              # 2 hosts x 2 devices
+np.random.seed(11)                  # identical init on both hosts
+model = nn.Linear(8, 4)
+shard_module(model, mesh, [(r".*", P())])   # replicate params globally
+optim = light.optim.Adam(model.parameters(), lr=1e-2)
+
+rng = np.random.default_rng(5)
+full_x = rng.normal(size=(8, 8)).astype(np.float32)
+full_y = rng.normal(size=(8, 4)).astype(np.float32)
+lo, hi = pid * 4, (pid + 1) * 4     # each host feeds ITS half of the batch
+x = TpuTensor(distribute_batch(mesh, full_x[lo:hi], P("dp")), requires_grad=False)
+y = TpuTensor(distribute_batch(mesh, full_y[lo:hi], P("dp")), requires_grad=False)
+
+def step():
+    loss = light.loss.mse(model(x), y)
+    optim.zero_grad()
+    loss.backward()
+    optim.step()
+    return loss
+
+fn = light.jit(step)
+losses = [float(np.asarray(fn().data)) for _ in range(3)]
+assert losses[-1] < losses[0], losses
+# post-step params: read the LOCAL replica of each (replicated) parameter
+sums = []
+for n, p in model.named_parameters():
+    local = np.asarray(p.data.addressable_shards[0].data)
+    sums.append(f"{n}={local.sum():.8f}")
+print(f"TRAIN_OK {pid} loss={losses[-1]:.8f} " + " ".join(sums), flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -104,3 +156,67 @@ def test_two_process_dp_step(tmp_path):
     n0 = outs[0].split("WORKER_OK 0 ")[1].split()[0]
     n1 = outs[1].split("WORKER_OK 1 ")[1].split()[0]
     assert n0 == n1, (n0, n1)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo loopback lane")
+def test_two_process_train_step(tmp_path):
+    """Full shard_module'd + light.jit'd training across 2 processes: each
+    host feeds half the global batch; after 3 optimizer steps both hosts hold
+    IDENTICAL parameters that match the single-process oracle (VERDICT r2
+    #8 / ROADMAP 'Parallelism' #3)."""
+    script = tmp_path / "train_worker.py"
+    script.write_text(_TRAIN_WORKER)
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"TRAIN_OK {i}" in out, out
+        lines.append(out.split(f"TRAIN_OK {i} ")[1].splitlines()[0])
+    # bit-identical post-step params (and loss) on both hosts
+    assert lines[0] == lines[1], (lines[0], lines[1])
+
+    # single-process oracle: same seeds, plain single-device training
+    import jax
+
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(11)
+    model = nn.Linear(8, 4)
+    optim = light.optim.Adam(model.parameters(), lr=1e-2)
+    rng = np.random.default_rng(5)
+    x = TpuTensor.from_numpy(rng.normal(size=(8, 8)).astype(np.float32),
+                             requires_grad=False)
+    y = TpuTensor.from_numpy(rng.normal(size=(8, 4)).astype(np.float32),
+                             requires_grad=False)
+    for _ in range(3):
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+    want = {n: float(p.numpy().sum()) for n, p in model.named_parameters()}
+    got = dict(kv.split("=") for kv in lines[0].split()[1:])
+    for n, v in want.items():
+        np.testing.assert_allclose(float(got[n]), v, rtol=1e-5, atol=1e-6,
+                                   err_msg=n)
