@@ -112,3 +112,25 @@ def test_bert_backward_runs():
         optim.step()
         losses.append(loss.item())
     assert losses[-1] < losses[0]
+
+
+def test_output_attentions_escape_hatch():
+    """output_attentions=True returns (context, probs) like the reference's
+    BertSelfAttention (reference bert.py:88) and matches the fused path."""
+    import lightgrad_tpu as light
+    from lightgrad_tpu.models.bert import BertConfig, BertSelfAttention
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(3)
+    cfg = BertConfig(hidden_size=32, num_attention_heads=4)
+    attn = BertSelfAttention(cfg)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (2, 8, 32)).astype(np.float32),
+        requires_grad=False)
+    with light.no_grad():
+        fused = attn(x).numpy()
+        ctx, probs = attn(x, output_attentions=True)
+    np.testing.assert_allclose(ctx.numpy(), fused, rtol=2e-5, atol=2e-5)
+    p = probs.numpy()
+    assert p.shape == (2, 4, 8, 8)
+    np.testing.assert_allclose(p.sum(-1), np.ones((2, 4, 8)), rtol=1e-5)
