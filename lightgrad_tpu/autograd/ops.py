@@ -193,7 +193,64 @@ def mean_pool(t, kernel: tuple = (2, 2)):
     return t.pool(kernel=kernel).mean(axis=0, keepdims=False)
 
 
+@composite
+def conv_transpose(t, w, strides: int = 1, dilation: int = 1, groups: int = 1,
+                   output_padding: int = 0, pad: int = 0):
+    """Transposed (fractionally-strided) convolution, 1-D or 2-D.
+
+    Torch semantics and weight layout ``(Cin, Cout/g, *K)``: output spatial
+    = ``(s-1)*stride - 2*pad + (k-1)*dilation + 1 + output_padding``.  Built
+    entirely from existing primitives -- zero-dilate the input (reshape +
+    pad + reshape), flip/transpose the kernel, stride-1 conv -- so every
+    backend gets the backward from the tape for free (the reference has no
+    transposed conv at all; extension for decoder architectures,
+    ROADMAP 'Capability')."""
+    n = w.ndim - 2
+    assert n in (1, 2), f"conv_transpose supports 1-D/2-D, got {n}-D"
+    st, dl = strides, dilation
+    assert isinstance(st, int) and isinstance(dl, int), \
+        "conv_transpose takes scalar stride/dilation"
+    k_eff = tuple((k - 1) * dl + 1 for k in w.shape[2:])
+    assert all(0 <= pad <= ke - 1 for ke in k_eff), \
+        f"pad must be in [0, k_eff-1], got {pad} vs {k_eff}"
+    b, cin = t.shape[0], t.shape[1]
+    spatial = t.shape[2:]
+
+    if st > 1:
+        # zero-dilate: x[..., i] -> position i*st.  Split each spatial dim
+        # into (S, 1), grow the singleton to st with a right zero-pad, then
+        # flatten and crop the trailing st-1 zeros.
+        if n == 2:
+            sh, sw = spatial
+            y = t.reshape(b, cin, sh, 1, sw, 1)
+            y = y.pad((0, st - 1), dims=(-1,))      # (b,c,sh,1,sw,st)
+            y = y.transpose(0, 1, 2, 5, 4, 3)       # (b,c,sh,st,sw,1)
+            y = y.pad((0, st - 1), dims=(-1,))      # (b,c,sh,st,sw,st)
+            y = y.reshape(b, cin, sh * st, sw * st)
+            t = y[:, :, : (sh - 1) * st + 1, : (sw - 1) * st + 1]
+        else:
+            (sw,) = spatial
+            y = t.reshape(b, cin, sw, 1).pad((0, st - 1), dims=(-1,))
+            t = y.reshape(b, cin, sw * st)[:, :, : (sw - 1) * st + 1]
+
+    lo = tuple(ke - 1 - pad for ke in k_eff)
+    hi = tuple(ke - 1 - pad + output_padding for ke in k_eff)
+    assert len(set(lo)) == 1 and len(set(hi)) == 1, "anisotropic kernels need equal k_eff"
+    if lo[0] > 0 or hi[0] > 0:
+        t = t.pad((lo[0], hi[0]), dims=tuple(range(-n, 0)))
+
+    # weight (Cin, Cout/g, *K) -> flipped, per-group-transposed (Cout, Cin/g, *K)
+    flip = (slice(None), slice(None)) + (slice(None, None, -1),) * n
+    wf = w[flip]
+    og = w.shape[1]
+    wf = wf.reshape(groups, cin // groups, og, *w.shape[2:])
+    wf = wf.transpose(0, 2, 1, *range(3, 3 + n))
+    wf = wf.reshape(groups * og, cin // groups, *w.shape[2:])
+    return t.conv(wf, strides=1, dilation=dl, groups=groups)
+
+
 AbstractTensor.register_method("pool", pool)
 AbstractTensor.register_method("max_pool", max_pool)
 AbstractTensor.register_method("min_pool", min_pool)
 AbstractTensor.register_method("mean_pool", mean_pool)
+AbstractTensor.register_method("conv_transpose", conv_transpose)

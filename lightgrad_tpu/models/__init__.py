@@ -2,3 +2,4 @@ from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
 from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
 from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
 from .decoding import beam_search
+from .resnet import ResNet, BasicBlock, resnet20, resnet18

@@ -12,7 +12,8 @@ import numpy as np
 
 from .autograd import Tensor, AbstractTensor
 
-__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
+__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "ConvTranspose2d",
+           "BatchNorm2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
 
 
 def _fan_in_uniform(shape, fan_in):
@@ -32,7 +33,23 @@ class Module:
     def __init__(self):
         object.__setattr__(self, "_params", {})
         object.__setattr__(self, "_modules", {})
+        object.__setattr__(self, "_buffers", {})
         object.__setattr__(self, "training", True)
+
+    def register_buffer(self, name: str, tensor):
+        """Non-parameter persistent state (e.g. BatchNorm running stats):
+        saved in state_dict / loaded by load_parameters, but never yielded
+        by parameters(), so optimizers don't touch it."""
+        self._buffers[name] = tensor
+        object.__setattr__(self, name, tensor)
+        return tensor
+
+    def named_buffers(self, prefix: str = "", separator: str = "."):
+        pfx = (prefix + separator) if prefix else ""
+        for name, b in self._buffers.items():
+            yield pfx + name, b
+        for name, m in self._modules.items():
+            yield from m.named_buffers(prefix=pfx + name, separator=separator)
 
     def forward(self, *args, **kwargs):
         raise NotImplementedError()
@@ -118,6 +135,22 @@ class Module:
             if new_data.dtype != p.data.dtype:
                 new_data = new_data.astype(p.data.dtype)
             p._set_data(new_data)
+        for key, b in self._buffers.items():
+            # buffers load when present (running stats etc.); absent entries
+            # keep their initialization -- torch checkpoints may omit e.g.
+            # num_batches_tracked equivalents
+            full = prefix + key
+            if full in param_dict:
+                v = param_dict[full]
+                if isinstance(v, AbstractTensor):
+                    v = v.numpy()
+                new = type(b).from_numpy(np.asarray(v))
+                assert b.shape == new.shape, \
+                    f"shape mismatch for buffer {full}: {b.shape} != {new.shape}"
+                data = new.data
+                if data.dtype != b.data.dtype:
+                    data = data.astype(b.data.dtype)
+                b._set_data(data)
         for key, m in self._modules.items():
             m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
 
@@ -130,6 +163,7 @@ class Module:
         checkpoints them under per-layer names -- can override it."""
         pfx = (prefix + separator) if prefix else ""
         out = {pfx + n: p.numpy() for n, p in self._params.items()}
+        out.update({pfx + n: b.numpy() for n, b in self._buffers.items()})
         for name, m in self._modules.items():
             out.update(m.state_dict(prefix=pfx + name, separator=separator))
         return out
@@ -198,6 +232,87 @@ class Conv2d(Module):
         y = (x.pad(self.p) if needs_pad else x).conv(
             self.w, strides=self.s, dilation=self.d, groups=self.g)
         return y + self.b if self.b is not None else y
+
+
+class ConvTranspose2d(Module):
+    """2-D transposed convolution (decoder/upsampling architectures).
+
+    Torch weight layout ``(in_channels, out_channels/groups, k, k)`` and
+    output-size semantics; built on the ``conv_transpose`` composite
+    (autograd/ops.py), so it runs and differentiates on every backend.  The
+    reference has no transposed conv (its conv is forward-only on OpenCL,
+    reference opencl/ops.py:403-408)."""
+
+    def __init__(self, in_channels: int, out_channels: int, kernelsize: int = 3,
+                 stride: int = 1, pad: int = 0, output_padding: int = 0,
+                 bias: bool = True, dilation: int = 1, groups: int = 1):
+        super().__init__()
+        assert in_channels % groups == 0 and out_channels % groups == 0
+        fan_in = (in_channels // groups) * kernelsize * kernelsize
+        self.w = _fan_in_uniform(
+            (in_channels, out_channels // groups, kernelsize, kernelsize),
+            fan_in)
+        self.b = _fan_in_uniform((1, out_channels, 1, 1), fan_in) if bias else None
+        self.s, self.p, self.op = stride, pad, output_padding
+        self.d, self.g = dilation, groups
+
+    def forward(self, x):
+        y = x.conv_transpose(self.w, strides=self.s, dilation=self.d,
+                             groups=self.g, output_padding=self.op,
+                             pad=self.p)
+        return y + self.b if self.b is not None else y
+
+
+class BatchNorm2d(Module):
+    """Batch normalization over (B, C, H, W) with running statistics.
+
+    Running mean/var live as buffers (register_buffer): checkpointed, never
+    optimized.  Stat updates are true in-place tensor ops under no_grad, so
+    a light.jit-compiled training step records them as buffer writes and the
+    compiled program keeps updating them.  The reference has no normalization
+    layer beyond LayerNorm (reference nn.py:109-124); BatchNorm is the
+    missing piece for conv/vision families (ResNet)."""
+
+    def __init__(self, num_features: int, eps: float = 1e-5,
+                 momentum: float = 0.1, affine: bool = True):
+        super().__init__()
+        self.c = num_features
+        self.eps, self.momentum = eps, momentum
+        if affine:
+            self.weight = Tensor.ones((num_features,))
+            self.bias = Tensor.zeros((num_features,))
+        else:
+            self.weight = self.bias = None
+        self.register_buffer("running_mean",
+                             Tensor.zeros((num_features,), requires_grad=False))
+        self.register_buffer("running_var",
+                             Tensor.ones((num_features,), requires_grad=False))
+
+    def forward(self, x):
+        assert len(x.shape) == 4 and x.shape[1] == self.c, x.shape
+        c = self.c
+        if self.training:
+            m = x.mean(axis=(0, 2, 3))
+            d = x - m.reshape(1, c, 1, 1)
+            v = (d * d).mean(axis=(0, 2, 3))
+            n = x.shape[0] * x.shape[2] * x.shape[3]
+            from .autograd import no_grad
+
+            with no_grad():
+                mom = self.momentum
+                self.running_mean *= (1.0 - mom)
+                self.running_mean += m.detach() * mom
+                self.running_var *= (1.0 - mom)
+                # torch tracks the UNBIASED variance in running stats
+                self.running_var += v.detach() * (mom * n / max(n - 1, 1))
+            xh = d / (v.reshape(1, c, 1, 1) + self.eps).pow(0.5)
+        else:
+            m = self.running_mean.reshape(1, c, 1, 1)
+            v = self.running_var.reshape(1, c, 1, 1)
+            xh = (x - m) / (v + self.eps).pow(0.5)
+        if self.weight is not None:
+            xh = xh * self.weight.reshape(1, c, 1, 1) + self.bias.reshape(1, c, 1, 1)
+        return xh
 
 
 class LayerNorm(Module):
