@@ -22,10 +22,21 @@ class _NotJaxBacked(TypeError):
 
 
 def _sample(logits: np.ndarray, temperature: float, rng,
-            top_k: int = 0, top_p: float = 0.0) -> int:
+            top_k: int = 0, top_p: float = 0.0,
+            repetition_penalty: float = 1.0, prev_ids=None) -> int:
     """Greedy (temperature<=0) or temperature sampling, optionally truncated
-    to the top-k logits and/or the top-p (nucleus) probability mass."""
-    logits = np.asarray(logits, np.float32)
+    to the top-k logits and/or the top-p (nucleus) probability mass.
+    ``repetition_penalty`` > 1 damps logits of already-emitted ids (CTRL,
+    Keskar et al.): positive logits divided by the penalty, negative ones
+    multiplied."""
+    logits = np.array(logits, np.float32)  # owned copy: np.asarray of a jax
+    # array is a read-only view, and the penalty writes in place
+    if repetition_penalty != 1.0 and prev_ids:
+        seen = np.asarray(sorted(set(int(i) for i in prev_ids)))
+        seen = seen[seen < len(logits)]
+        vals = logits[seen]
+        logits[seen] = np.where(vals > 0, vals / repetition_penalty,
+                                vals * repetition_penalty)
     if temperature <= 0:
         return int(np.argmax(logits))
     if top_k and top_k < len(logits):
@@ -137,7 +148,8 @@ class GPT(nn.Module):
     def generate(self, ids, max_new_tokens: int = 20, temperature: float = 0.0,
                  rng: np.random.Generator = None, use_cache: bool = True,
                  top_k: int = 0, top_p: float = 0.0, num_beams: int = 1,
-                 eos_id: int = None, length_penalty: float = 1.0):
+                 eos_id: int = None, length_penalty: float = 1.0,
+                 repetition_penalty: float = 1.0, stream=None):
         """Autoregressive decode; greedy when ``temperature=0``.
 
         ``use_cache=True`` (default, jax-backed tensors only): incremental
@@ -163,7 +175,9 @@ class GPT(nn.Module):
         if use_cache:
             try:
                 return self._generate_kv(ids, max_new_tokens, temperature, rng,
-                                         top_k=top_k, top_p=top_p)
+                                         top_k=top_k, top_p=top_p,
+                                         repetition_penalty=repetition_penalty,
+                                         stream=stream, eos_id=eos_id)
             except _NotJaxBacked:
                 pass  # non-jax backend (e.g. CPU oracle tensors): recompute
         if not hasattr(self, "_decode_fn"):
@@ -179,7 +193,13 @@ class GPT(nn.Module):
             padded = ctx + [0] * (window - len(ctx))
             x = Tensor.from_numpy(np.array([padded], dtype=np.int32), requires_grad=False)
             logits = self._decode_fn(x).numpy()[0, len(ctx) - 1]
-            ids.append(_sample(logits, temperature, rng, top_k=top_k, top_p=top_p))
+            ids.append(_sample(logits, temperature, rng, top_k=top_k, top_p=top_p,
+                               repetition_penalty=repetition_penalty,
+                               prev_ids=ids))
+            if stream is not None:
+                stream(ids[-1])
+            if eos_id is not None and ids[-1] == eos_id:
+                break
         return ids
 
     # --- KV-cache incremental decoding (jax path) --------------------------
@@ -263,7 +283,9 @@ class GPT(nn.Module):
         return init_cache, prefill, step_jit
 
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
-                     top_k: int = 0, top_p: float = 0.0):
+                     top_k: int = 0, top_p: float = 0.0,
+                     repetition_penalty: float = 1.0, stream=None,
+                     eos_id: int = None):
         import jax.numpy as jnp
 
         W = self.cfg.n_positions
@@ -282,12 +304,21 @@ class GPT(nn.Module):
         cache, logits = prefill(cache, toks, len(ids))
         out = list(ids)
         out.append(_sample(np.asarray(logits), temperature, rng,
-                           top_k=top_k, top_p=top_p))
+                           top_k=top_k, top_p=top_p,
+                           repetition_penalty=repetition_penalty, prev_ids=out))
+        if stream is not None:
+            stream(out[-1])
         for _ in range(max_new_tokens - 1):
+            if eos_id is not None and out[-1] == eos_id:
+                break
             pos = jnp.int32(len(out) - 1)
             cache, logits = step(cache, pos, jnp.int32(out[-1]))
             out.append(_sample(np.asarray(logits), temperature, rng,
-                           top_k=top_k, top_p=top_p))
+                               top_k=top_k, top_p=top_p,
+                               repetition_penalty=repetition_penalty,
+                               prev_ids=out))
+            if stream is not None:
+                stream(out[-1])
         return out
 
     @staticmethod

@@ -183,3 +183,30 @@ def test_sampling_topk_topp():
     b = m.generate([1, 2], max_new_tokens=6, temperature=0.8, top_k=4,
                    rng=np.random.default_rng(3), use_cache=False)
     assert a == b
+
+
+def test_generate_repetition_penalty_and_stream():
+    """repetition_penalty damps already-emitted ids; stream callback sees
+    every new token in order; eos stops decoding early."""
+    import lightgrad_tpu as light
+    from lightgrad_tpu.models.gpt import GPT, GPTConfig
+
+    np.random.seed(0)
+    model = GPT(GPTConfig(vocab_size=32, n_positions=16, n_embd=16,
+                          n_layer=1, n_head=2))
+    seen = []
+    out = model.generate([1, 2], max_new_tokens=6, temperature=0.0,
+                         stream=seen.append)
+    assert seen == out[2:]
+
+    # a huge penalty forbids repeats entirely (greedy): all new ids distinct
+    out_p = model.generate([1, 2], max_new_tokens=6, temperature=0.0,
+                           repetition_penalty=1e9)
+    body = out_p  # includes prompt; check the generated tail is repeat-free
+    assert len(set(body)) == len(body), body
+
+    # eos_id cuts generation short
+    eos = out[2]  # first generated token
+    out_e = model.generate([1, 2], max_new_tokens=6, temperature=0.0,
+                           eos_id=int(eos))
+    assert out_e[-1] == eos and len(out_e) == 3, out_e
