@@ -161,13 +161,27 @@ class _CompiledStep:
         )
         from .ops import runtime as _runtime
 
+        # while staged to the host backend, keep the recording step's CPU
+        # compiles OUT of the persistent cache: XLA:CPU AOT entries are
+        # rejected on reload by this host class (machine-feature pseudo-flag
+        # mismatch) and each rejected load emits a multi-KB warning -- the
+        # stderr flood of VERDICT r2 #1.  The floor is read per cache write,
+        # so raising it only for the staged window leaves tunneled TPU
+        # compiles fully cached.
+        cache_floor_raised = False
         try:
             if rec.cpu is not None:
                 _runtime._staging = True  # pallas can't run on the host backend
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 1e9)
+                cache_floor_raised = True
             with _TraceScope(rec), dev_ctx:
                 out = self.fn(*args)
         finally:
             _runtime._staging = False
+            if cache_floor_raised:
+                jax.config.update(
+                    "jax_persistent_cache_min_compile_time_secs", 0.0)
         # recording ran on the host backend; move results back to the device
         rec.restore_devices()
         if rec.cpu is not None:

@@ -277,7 +277,10 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False):
     if mode == "xla":
         scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
         if causal:
-            scores = scores + _causal_mask(s)
+            # cast the mask to the score dtype: an f32 mask would silently
+            # upcast scores -- and through the residual stream the ENTIRE
+            # rest of a bf16 model (measured: AMP GPT ran f32 past layer 1)
+            scores = scores + _causal_mask(s).astype(scores.dtype)
         out = jnp.einsum(
             "bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), v3,
             precision=_prec_for(v3),
@@ -302,7 +305,7 @@ def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False):
     # recompute path (one fused XLA program)
     scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
     if causal:
-        scores = scores + _causal_mask(s)
+        scores = scores + _causal_mask(s).astype(scores.dtype)
     p = jax.nn.softmax(scores, axis=-1)
     dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_prec_for(g3))
     dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_prec_for(g3, v3))

@@ -59,12 +59,7 @@ def on_tpu() -> bool:
             )
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
-            # On TPU, keep fast CPU-staged recording compiles OUT of the
-            # cache (they are what poisons it with AOT entries): every
-            # tunneled TPU compile takes >1s, local per-op CPU compiles
-            # don't, so a 1s floor separates them cleanly.
-            jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              1.0 if _on_tpu else 0.0)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return _on_tpu
 
 

@@ -100,7 +100,7 @@ class ScannedStack(nn.Module):
         object.__setattr__(self, "_names", names)
         object.__setattr__(self, "n_layers", len(blocks))
         object.__setattr__(self, "remat", remat)
-        stacked = {}
+        name_map = {}
         for n in names:
             per = []
             for b in blocks:
@@ -112,9 +112,16 @@ class ScannedStack(nn.Module):
                 )
                 per.append(p.data)
             t = TpuTensor(jnp.stack(per), requires_grad=True)
-            setattr(self, n.replace(".", "__"), t)  # registers as parameter
-            stacked[n] = t
-        object.__setattr__(self, "_stacked", stacked)
+            key = n.replace(".", "__")
+            setattr(self, key, t)  # registers as parameter
+            name_map[n] = key
+        object.__setattr__(self, "_name_map", name_map)
+
+    @property
+    def _stacked(self):
+        """{original-name: stacked tensor}, resolved through _params so
+        rebinds (map_parameters, amp.cast_module) stay visible."""
+        return {n: self._params[k] for n, k in self._name_map.items()}
 
     def train(self, mode: bool = True):
         # propagate to the template block (held outside _modules so its

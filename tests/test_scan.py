@@ -131,6 +131,37 @@ def test_kv_cache_decode_with_scan():
     assert out_ref == out_scan
 
 
+def test_amp_training_with_scan():
+    """Master-weight AMP over a scanned GPT (the bench GPT configuration):
+    cast_module rebinds the stacked params; the _stacked view must follow
+    the rebind and the compiled AMP step must train."""
+    import jax.numpy as jnp
+
+    np.random.seed(0)
+    model = GPT(_small_cfg(scan_layers=True))
+    mp = light.amp.MixedPrecision(model, lambda ps: light.optim.Adam(ps, lr=1e-3))
+    # stacked params are now bf16 AND identical objects in _params/_stacked
+    for n, t in model.h._stacked.items():
+        assert t.data.dtype == jnp.bfloat16, n
+        assert any(t is p for p in model.parameters()), n
+    ids = _ids()
+    tgt = TpuTensor.from_numpy(
+        np.random.default_rng(2).integers(0, 64, (2 * 8,)).astype(np.int32),
+        requires_grad=False)
+
+    def step():
+        logits = model(ids).reshape(2 * 8, 64)
+        loss = light.loss.cross_entropy(logits, tgt)
+        mp.zero_grad()
+        loss.backward()
+        mp.step()
+        return loss
+
+    fn = light.jit(step)
+    losses = [float(fn().item()) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+
+
 def test_bert_scan_matches_loop():
     """BERT with scanned encoder layers == looped, incl. the attention-mask
     extra argument (broadcast, not scanned)."""
