@@ -284,3 +284,61 @@ def pipeline_train_1f1b_interleaved(stage_fn, loss_fn, stacked_params,
         out_specs=(P(), pspec),
         check_vma=False,
     )(stacked_params, x_micro, y_micro)
+
+
+def module_stages_interleaved(blocks, n_stages: int, n_chunks: int):
+    """Bridge P*V structurally identical ``nn.Module`` blocks to the
+    ``(stage_fn, stacked_params)`` contract of
+    :func:`pipeline_train_1f1b_interleaved`.
+
+    ``blocks[s]`` is virtual stage s (model order); it lands on device
+    ``s % P`` as chunk ``s // P``, so the stacked leaves are (P, V, ...)
+    with ``leaf[d, c] = blocks[c*P + d]``.  Same tape-data-swap trick as
+    ``pipeline_1f1b.module_stages`` (blocks must be eval-mode /
+    dropout-free: jax.vjp supplies differentiation)."""
+    from ..autograd import Gradients
+    from ..autograd.tpu.tensor import TpuTensor
+
+    Pn, V = n_stages, n_chunks
+    assert len(blocks) == Pn * V, (len(blocks), Pn, V)
+    names = [n for n, _ in blocks[0].named_parameters()]
+    per_block = []
+    for b in blocks:
+        d = dict(b.named_parameters())
+        assert [n for n, _ in b.named_parameters()] == names, \
+            "pipeline blocks must be structurally identical"
+        per_block.append(d)
+    stacked = {
+        n: jnp.stack([
+            jnp.stack([per_block[c * Pn + d][n].data for c in range(V)])
+            for d in range(Pn)
+        ])
+        for n in names
+    }
+    proto = blocks[0]
+    proto_params = dict(proto.named_parameters())
+
+    def stage_fn(params, x):
+        old = [(p, p._raw_data()) for p in proto_params.values()]
+        try:
+            for n, p in proto_params.items():
+                p._set_data(params[n])
+            with Gradients.no_grad():
+                out = proto(TpuTensor(x, requires_grad=False))
+            return out.data
+        finally:
+            for p, d in old:
+                p._set_data(d)
+
+    return stage_fn, stacked
+
+
+def load_module_grads_interleaved(blocks, grads, n_stages: int, n_chunks: int):
+    """Write stacked (P, V, ...) grads back onto each block's ``.grad``."""
+    from ..autograd.tpu.tensor import TpuTensor
+
+    for s, b in enumerate(blocks):
+        d, c = s % n_stages, s // n_stages
+        for n, p in b.named_parameters():
+            p.zero_grad()
+            p.add_grad(TpuTensor(grads[n][d, c], requires_grad=False))

@@ -102,3 +102,70 @@ def test_interleaved_schedule_shape():
         busy = 2 * mm * vv  # blocks per device
         t = interleaved_ticks(mm, pp, vv)
         assert busy <= t <= busy + 4 * pp * vv + 4, (mm, pp, vv, t)
+
+
+@needs_mesh
+def test_interleaved_module_bridge():
+    """nn.Module blocks -> interleaved-1F1B via the data-swap bridge; grads
+    land back on each block's .grad and match sequential tape execution."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.parallel import make_mesh
+    from lightgrad_tpu.parallel.pipeline_1f1b_interleaved import (
+        pipeline_train_1f1b_interleaved, module_stages_interleaved,
+        load_module_grads_interleaved)
+
+    Pn, Vv, dim, n_micro, mb = 2, 2, 8, 4, 4
+
+    class Blk(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lin = nn.Linear(dim, dim)
+
+        def forward(self, x):
+            return self.lin(x).tanh()
+
+    np.random.seed(3)
+    blocks = [Blk() for _ in range(Pn * Vv)]
+    stage_fn, stacked = module_stages_interleaved(blocks, Pn, Vv)
+    mesh = make_mesh(dp=1, tp=1, pp=Pn)
+    stacked = {n: jax.device_put(a, NamedSharding(mesh, P("pp")))
+               for n, a in stacked.items()}
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(n_micro, mb, dim)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n_micro, mb, dim)).astype(np.float32))
+
+    def loss_fn(out, tgt):
+        return jnp.mean((out - tgt) ** 2)
+
+    loss, grads = pipeline_train_1f1b_interleaved(
+        stage_fn, loss_fn, stacked, x, y, mesh, axis="pp", n_chunks=Vv)
+
+    # sequential tape oracle over the SAME blocks (mean microbatch mse)
+    for b in blocks:
+        for p in b.parameters():
+            p.zero_grad()
+    total = None
+    for m in range(n_micro):
+        h = TpuTensor.from_numpy(np.asarray(x[m]), requires_grad=False)
+        for blk in blocks:
+            h = blk(h)
+        tgt = TpuTensor.from_numpy(np.asarray(y[m]), requires_grad=False)
+        lm = light.loss.mse(h, tgt) * 2.0  # our mse halves; loss_fn does not
+        total = lm if total is None else total + lm
+    mean_loss = total * (1.0 / n_micro)
+    mean_loss.backward()
+    np.testing.assert_allclose(float(loss), float(mean_loss.item()), rtol=2e-5)
+    want = [{n: p.grad.numpy().copy() for n, p in b.named_parameters()}
+            for b in blocks]
+
+    # bridge the stacked grads back onto the blocks and compare
+    load_module_grads_interleaved(blocks, grads, Pn, Vv)
+    for s_idx, b in enumerate(blocks):
+        for n, p in b.named_parameters():
+            np.testing.assert_allclose(
+                p.grad.numpy(), want[s_idx][n], rtol=3e-4, atol=3e-5,
+                err_msg=f"stage {s_idx} {n}")
