@@ -89,7 +89,11 @@ class BertSelfAttention(nn.Module):
         if output_attentions:
             scores = (q @ k.transpose(0, 1, 3, 2)) * scale
             if mask is not None:
-                scores = scores + mask
+                # cast: an f32 mask would upcast the whole residual
+                # stream of a bf16 model (same hazard as the causal mask,
+                # ops/attention.py)
+                scores = scores + (mask.astype(scores.dtype)
+                                   if mask.dtype != scores.dtype else mask)
             probs = scores.softmax(axis=-1)
             ctx = probs @ v
             return ctx.transpose(0, 2, 1, 3).reshape(b, s, h), probs
@@ -106,7 +110,11 @@ class BertSelfAttention(nn.Module):
         else:
             scores = (q @ k.transpose(0, 1, 3, 2)) * scale
             if mask is not None:
-                scores = scores + mask
+                # cast: an f32 mask would upcast the whole residual
+                # stream of a bf16 model (same hazard as the causal mask,
+                # ops/attention.py)
+                scores = scores + (mask.astype(scores.dtype)
+                                   if mask.dtype != scores.dtype else mask)
             ctx = scores.softmax(axis=-1) @ v
         return ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
 
