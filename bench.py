@@ -1,17 +1,19 @@
-"""Benchmark harness: prints ONE JSON line on stdout.
+"""Benchmark harness: prints ONE JSON line on stdout (as the LAST line).
 
-Headline metric: MNIST MLP 200-step training wall-clock (the reference's
-examples/mnist.py config: 784-128-10 no-bias MLP, batch 128, AdaBelief,
-one-hot + MSE) on one TPU chip with the jit step-compiler, versus the
-reference implementation's CPU backend measured on this host
-(benchmarks/reference_cpu.json; its OpenCL backend needs an ICD this image
-lacks).  ``vs_baseline`` is the speedup factor (reference_seconds / ours).
+Headline metric: MNIST-CNN 200-step training wall-clock (the BASELINE.json
+north-star workload; exact reference architecture, examples/mnist.py:12-22)
+on one TPU chip with the jit step-compiler, versus the reference
+implementation's CPU backend measured on this host
+(benchmarks/reference_cpu.json, best-of-3; its OpenCL backend needs an ICD
+this image lacks).  ``vs_baseline`` is the speedup factor (ref/ours).
+If the process dies before the CNN stage lands (cold-cache compile), the
+exit hook emits the MLP-stage fallback headline instead of nothing.
 
 Protocol (VERDICT r1 #4): every entry is the MEDIAN of >=5 timed regions
 with per-region values recorded; compute entries also report achieved
 TFLOP/s and MFU against the v5e bf16 peak (197 TF/s).  Detailed
-sub-benchmarks go to stderr and benchmarks/tpu_results.json.
-"""
+sub-benchmarks go to stderr and benchmarks/results/tpu_results.json
+(untracked)."""
 
 import atexit
 import json
@@ -382,6 +384,15 @@ def main():
     details["mnist_mlp_runs"] = runs
     details["mnist_final_loss"] = round(final_loss, 4)
     err(f"mnist mlp 200 steps: median {mnist_s:.4f}s {runs} (loss {final_loss:.4f})")
+    # fallback headline in case the CNN stage's cold compile outlives the
+    # driver timeout: a kill from here on still emits a real measurement
+    _headline = {
+        "metric": "mnist_mlp_200steps_wallclock",
+        "value": round(mnist_s, 4),
+        "unit": "s",
+        "vs_baseline": (round(ref["mnist_mlp_200steps_s"] / mnist_s, 2)
+                        if ref.get("mnist_mlp_200steps_s") else 0.0),
+    }
 
     # headline stage: MNIST-CNN training wall-clock (the BASELINE.json
     # north-star metric) vs the measured reference-CPU CNN.  The headline is
