@@ -24,7 +24,7 @@ from benchmarks.bench_util import time_median
 
 on_tpu()
 
-CHAIN = 8
+CHAIN = 3  # big chains compile too slowly through the tunnel
 CONFIGS = [(256, 512), (256, 1024), (512, 512), (512, 1024), (512, 2048),
            (1024, 1024)]
 
@@ -56,7 +56,7 @@ def bench_shape(bh, s, d, causal=False):
         A.set_flash_blocks(bq, bk)
         try:
             f = jax.jit(chain)
-            dt, _ = time_median(lambda: f(q), iters=3, repeats=5)
+            dt, _ = time_median(lambda: f(q), iters=4, repeats=5)
             per = dt / CHAIN
             tf = flops / per / 1e12
             results[(bq, bk)] = tf
