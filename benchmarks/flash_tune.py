@@ -27,6 +27,8 @@ on_tpu()
 CHAIN = 3  # big chains compile too slowly through the tunnel
 CONFIGS = [(256, 512), (256, 1024), (512, 512), (512, 1024), (512, 2048),
            (1024, 1024)]
+if os.environ.get("FLASH_TUNE_QUICK"):  # A/B runs: only the measured-best two
+    CONFIGS = [(512, 512), (512, 2048)]
 
 
 def bench_shape(bh, s, d, causal=False):
@@ -73,7 +75,18 @@ def bench_shape(bh, s, d, causal=False):
 def main():
     causal = "--causal" in sys.argv
     print(f"device: {jax.devices()[0]}")
-    bench_shape(96, 2048, 64, causal=causal)
+    if "--ab" in sys.argv:
+        # same-session fused vs two-pass backward comparison (chip variance
+        # is 2-3x across hours; only in-session rankings are trustworthy)
+        for fused in (True, False):
+            A.set_flash_fused(fused)
+            print(f"backward = {'fused single-pass' if fused else 'two-pass'}:")
+            bench_shape(96, 2048, 64, causal=causal)
+            bench_shape(48, 2048, 128, causal=causal)
+        A.set_flash_fused(True)
+        return
+    if "--stacked-only" not in sys.argv:
+        bench_shape(96, 2048, 64, causal=causal)
     print("head-stacked layout (2 heads -> d=128):")
     bench_shape(48, 2048, 128, causal=causal)
 

@@ -68,7 +68,10 @@ def _valid_mask(shape, row0, col0, s, causal):
 # ---------------------------------------------------------------------------
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
                 *, scale, nk, bk, bq, s, causal):
-    kb = pl.program_id(2)
+    # bind program ids OUTSIDE _compute: under the causal pl.when the body
+    # traces into a lax.cond branch, where program_id has no lowering rule
+    # in interpret mode
+    qb, kb = pl.program_id(1), pl.program_id(2)
 
     @pl.when(kb == 0)
     def _():
@@ -76,21 +79,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    scores = _dot(q_ref[0], k_ref[0], tb=True) * scale  # (bq, bk)
-    if s % bk != 0 or causal:
-        valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, s, causal)
-        scores = jnp.where(valid, scores, _NEG_INF)
+    def _compute():
+        scores = _dot(q_ref[0], k_ref[0], tb=True) * scale  # (bq, bk)
+        if s % bk != 0 or causal:
+            valid = _valid_mask(scores.shape, qb * bq, kb * bk, s, causal)
+            scores = jnp.where(valid, scores, _NEG_INF)
 
-    m_prev = m_ref[...]
-    m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
-    p = jnp.exp(scores - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    v_blk = v_ref[0]
-    if s % bk != 0:
-        v_blk = _zero_oob_rows(v_blk, kb * bk, s)
-    acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(v_blk.dtype), v_blk)
-    m_ref[...] = m_new
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=-1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v_blk = v_ref[0]
+        if s % bk != 0:
+            v_blk = _zero_oob_rows(v_blk, kb * bk, s)
+        acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(v_blk.dtype), v_blk)
+        m_ref[...] = m_new
+
+    if causal:
+        # fully-above-diagonal k blocks contribute nothing: skip the pair
+        pl.when(kb * bk <= (qb + 1) * bq - 1)(_compute)
+    else:
+        _compute()
 
     @pl.when(kb == nk - 1)
     def _():
@@ -99,8 +109,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
 
 # default flash block shape; overridable per-call (benchmarks/flash_tune.py
-# sweeps these in-program on hardware)
-_FLASH_BQ, _FLASH_BK = 256, 512
+# sweeps these in-program on hardware: (512, 512) won the r3 sweep for the
+# two-pass backward at both d=64 and d=128 -- bk=2048 loses ~2x in the
+# dq pass)
+_FLASH_BQ, _FLASH_BK = 512, 512
 
 
 def set_flash_blocks(bq: int, bk: int):
@@ -158,6 +170,63 @@ def _flash_fwd(q, k, v, scale, causal, vma=None):
 # backward: dQ pass (grid over q blocks, streaming k) and dK/dV pass
 # (grid over k blocks, streaming q).  p recomputed as exp(s - lse).
 # ---------------------------------------------------------------------------
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
+                      dqu_ref, dk_ref, dv_ref, dk_acc, dv_acc,
+                      *, scale, nq, bk, bq, s, causal):
+    """Single-pass backward: per (k-block, q-block) step the scores and
+    probabilities are computed ONCE and feed all three gradients -- dk/dv
+    accumulate in VMEM scratch over the inner q walk, while dq is written
+    UNREDUCED as a per-k-block slab (nk, b, s, d) summed outside the kernel
+    (the splash-attention trick: HBM slabs sidestep the non-consecutive
+    output-revisit hazard).  vs. the two-pass scheme this removes one full
+    score recompute + exp sweep (5 GEMMs and 1 exp per block pair instead
+    of 6 and 2), which matters because at d=64 the kernel is part
+    VPU-bound (measured: block-shape-insensitive ~21% MFU)."""
+    kb, qb = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    def _zero_dq():
+        dqu_ref[0, 0] = jnp.zeros_like(dqu_ref[0, 0])
+
+    def _compute():
+        q_blk, do_blk = q_ref[0], do_ref[0]
+        if s % bq != 0:
+            q_blk = _zero_oob_rows(q_blk, qb * bq, s)
+            do_blk = _zero_oob_rows(do_blk, qb * bq, s)
+        k_blk = k_ref[0]
+        if s % bk != 0:
+            # ds columns beyond s are zeroed, but 0 * garbage-K still
+            # poisons the dq contraction -- zero the rows themselves
+            k_blk = _zero_oob_rows(k_blk, kb * bk, s)
+        scores = _dot(q_blk, k_blk, tb=True) * scale  # (bq, bk)
+        valid = _valid_mask(scores.shape, qb * bq, kb * bk, s, causal)
+        p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
+        dv_acc[...] += _dot(p.astype(do_blk.dtype), do_blk, ta=True)
+        dp = _dot(do_blk, v_ref[0], tb=True)
+        ds = jnp.where(valid, p * (dp - dcap_ref[0]), 0.0)
+        dk_acc[...] += _dot(ds.astype(q_blk.dtype), q_blk, ta=True) * scale
+        dqu_ref[0, 0] = (_dot(ds.astype(k_blk.dtype), k_blk) * scale
+                         ).astype(dqu_ref.dtype)
+
+    if causal:
+        # a k block strictly above the q block's diagonal is all-masked:
+        # skip the whole block pair's compute (~2x at long sequence)
+        skip = kb * bk > (qb + 1) * bq - 1
+        pl.when(skip)(_zero_dq)
+        pl.when(jnp.logical_not(skip))(_compute)
+    else:
+        _compute()
+
+    @pl.when(qb == nq - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
                    acc_ref, *, scale, nk, bk, bq, s, causal):
     kb = pl.program_id(2)
@@ -209,6 +278,57 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+# Backward scheme selector (A/B harness hook, benchmarks/flash_tune.py --ab).
+# MEASURED (r3, in-session A/B at 2048 tokens bf16): the two-pass scheme WINS
+# -- 23.9% vs 19.0% MFU at d=64 and 38.5% vs 18.2% at d=128 -- because the
+# fused kernel's unreduced per-k-block dq slabs ((nk, b, s, d) f32 written to
+# HBM then summed by XLA) cost more bandwidth than the two-pass scheme's one
+# extra score recompute.  Kept for A/B and for shapes where nk is tiny.
+_FUSED_BWD = False
+
+
+def set_flash_fused(on: bool):
+    global _FUSED_BWD
+    prev = _FUSED_BWD
+    _FUSED_BWD = on
+    _build.cache_clear()
+    return prev
+
+
+def _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=None):
+    """One kernel for all three grads + an XLA sum over the dq slabs."""
+    b, s, d = q.shape
+    bq, bk = _attn_blocks(s)
+    nq, nk = cdiv(s, bq), cdiv(s, bk)
+    row = lambda h, j, i: (h, i, 0)
+    col = lambda h, j, i: (h, j, 0)
+    q_spec = lambda w: pl.BlockSpec((1, bq, w), row, memory_space=pltpu.VMEM)
+    k_spec = lambda w: pl.BlockSpec((1, bk, w), col, memory_space=pltpu.VMEM)
+    dqu_spec = pl.BlockSpec((1, 1, bq, d), lambda h, j, i: (j, h, i, 0),
+                            memory_space=pltpu.VMEM)
+    sds = functools.partial(jax.ShapeDtypeStruct,
+                            **({} if vma is None else {"vma": vma}))
+    dqu, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, nq=nq, bk=bk,
+                          bq=bq, s=s, causal=causal),
+        grid=(b, nk, nq),
+        in_specs=[q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1),
+                  q_spec(1)],
+        out_specs=[dqu_spec, k_spec(d), k_spec(d)],
+        out_shape=[
+            sds((nk, b, s, d), jnp.float32),
+            sds((b, s, d), k.dtype),
+            sds((b, s, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=interpret(),
+    )(q, k, v, g, lse, dcap)
+    return jnp.sum(dqu, axis=0).astype(q.dtype), dk, dv
+
+
 def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
@@ -219,6 +339,9 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     dcap = jnp.sum(g * out, axis=-1, keepdims=True).astype(jnp.float32)
     if dlse is not None:
         dcap = dcap - dlse.astype(jnp.float32)
+
+    if _FUSED_BWD:
+        return _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=vma)
 
     row = lambda h, i, j: (h, i, 0)
     col = lambda h, i, j: (h, j, 0)
