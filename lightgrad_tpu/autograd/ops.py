@@ -184,6 +184,35 @@ def max_pool(t, kernel: tuple = (2, 2)):
 
 
 @composite
+def max_pool2d(t, kernel: tuple = (2, 2), stride=None, padding: int = 0):
+    """Torch-semantics max pooling over the trailing (H, W) dims: overlapping
+    windows (stride < kernel) and padding supported -- unlike ``max_pool``,
+    whose reshape trick needs stride == kernel.  Windows are gathered as
+    ``kh*kw`` shifted strided slices stacked on a new axis, so every backend
+    inherits the backward from getitem/concat/max (the reference has only the
+    non-overlapping pool, reference ops.py:100-133; overlapping pooling is
+    needed for torchvision-faithful ResNet stems)."""
+    kh, kw = kernel if isinstance(kernel, tuple) else (kernel, kernel)
+    sh, sw = (stride if isinstance(stride, tuple) else (stride, stride)) \
+        if stride is not None else (kh, kw)
+    if padding:
+        # pad with -inf so padded cells never win the max
+        t = t.pad(padding, dims=(-2, -1), value=-1e30)
+    h, w = t.shape[-2:]
+    oh, ow = (h - kh) // sh + 1, (w - kw) // sw + 1
+    lead = tuple(slice(None) for _ in t.shape[:-2])
+    slices = []
+    for i in range(kh):
+        for j in range(kw):
+            s = t[lead + (slice(i, i + (oh - 1) * sh + 1, sh),
+                          slice(j, j + (ow - 1) * sw + 1, sw))]
+            slices.append(s.reshape(1, *s.shape))
+    if len(slices) == 1:
+        return slices[0].max(axis=0, keepdims=False)
+    return slices[0].concat(*slices[1:], axis=0).max(axis=0, keepdims=False)
+
+
+@composite
 def min_pool(t, kernel: tuple = (2, 2)):
     return t.pool(kernel=kernel).min(axis=0, keepdims=False)
 
@@ -251,6 +280,7 @@ def conv_transpose(t, w, strides: int = 1, dilation: int = 1, groups: int = 1,
 
 AbstractTensor.register_method("pool", pool)
 AbstractTensor.register_method("max_pool", max_pool)
+AbstractTensor.register_method("max_pool2d", max_pool2d)
 AbstractTensor.register_method("min_pool", min_pool)
 AbstractTensor.register_method("mean_pool", mean_pool)
 AbstractTensor.register_method("conv_transpose", conv_transpose)
