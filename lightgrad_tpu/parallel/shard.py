@@ -19,7 +19,8 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
-           "MOE_EP_RULES", "enable_sequence_parallel"]
+           "GPT_TP_RULES", "LLAMA_TP_RULES", "MOE_EP_RULES",
+           "enable_sequence_parallel"]
 
 
 def enable_sequence_parallel(module, mesh, axis: str = "sp",
@@ -51,10 +52,41 @@ BERT_TP_RULES = [
 ]
 
 
-def partition_rules(rules, name: str) -> P:
+# GPT-2 (models/gpt.py): Linear weights are (out, in).  Both c_proj
+# projections (attention output and MLP down) are column-parallel; c_attn /
+# c_fc are row-parallel; the tied wte table shards over the vocabulary.
+GPT_TP_RULES = [
+    (r"attn\.c_attn\.weight$", P("tp", None)),
+    (r"attn\.c_attn\.bias$", P("tp")),
+    (r"c_fc\.weight$", P("tp", None)),
+    (r"c_fc\.bias$", P("tp")),
+    (r"c_proj\.weight$", P(None, "tp")),
+    (r"wte\.weight$", P("tp", None)),
+]
+
+# LLaMA (models/llama.py): all Linears bias-free; gate/up row-parallel,
+# down and attention output column-parallel; GQA k/v shard like q.
+LLAMA_TP_RULES = [
+    (r"(q_proj|k_proj|v_proj)\.weight$", P("tp", None)),
+    (r"(gate_proj|up_proj)\.weight$", P("tp", None)),
+    (r"(o_proj|down_proj)\.weight$", P(None, "tp")),
+    (r"(embed_tokens|lm_head)\.weight$", P("tp", None)),
+]
+
+
+def partition_rules(rules, name: str, stacked: bool = None) -> P:
+    """Resolve a partition spec by name.  ``ScannedStack`` registers each
+    per-layer parameter family as ONE stacked ``(L, ...)`` tensor under the
+    ``__``-mangled name (scan.py:116) -- those match the same rules after
+    de-mangling, with a leading replicated layer axis prepended to the spec.
+    ``stacked=None`` infers stacking from the mangling convention."""
+    if stacked is None:
+        stacked = "__" in name
+    if stacked:
+        name = name.replace("__", ".")
     for pattern, spec in rules:
         if re.search(pattern, name):
-            return spec
+            return P(None, *spec) if stacked else spec
     return P()
 
 

@@ -504,3 +504,69 @@ def test_conv2d_padding_modes():
     # asymmetric pair
     conv = nn.Conv2d(3, 5, kernelsize=3, pad=(0, 2))
     assert conv(x).shape == (2, 5, 9, 9)
+
+
+@needs_mesh
+def test_partition_rules_scanned_stack():
+    """ScannedStack registers per-layer families as ONE stacked (L, ...)
+    tensor under a ``__``-mangled name (scan.py:116); the rules must match
+    the de-mangled name and prepend a replicated layer axis."""
+    from lightgrad_tpu.parallel import partition_rules, GPT_TP_RULES
+    from jax.sharding import PartitionSpec as P
+
+    assert partition_rules(GPT_TP_RULES, "h.attn__c_attn__weight") == P(None, "tp", None)
+    assert partition_rules(GPT_TP_RULES, "h.attn__c_attn__bias") == P(None, "tp")
+    assert partition_rules(GPT_TP_RULES, "h.attn__c_proj__weight") == P(None, None, "tp")
+    assert partition_rules(GPT_TP_RULES, "h.ln_1__weight") == P()
+    # unscanned names still resolve without the extra axis
+    assert partition_rules(GPT_TP_RULES, "h.0.attn.c_attn.weight") == P("tp", None)
+    assert partition_rules(GPT_TP_RULES, "wte.weight") == P("tp", None)
+
+
+@needs_mesh
+def test_scanned_gpt_tp_training_matches_unsharded():
+    """A scan_layers GPT sharded with GPT_TP_RULES over tp=4 trains to the
+    same trajectory as the unsharded scanned model, and its stacked params
+    are actually placed tp-sharded (layer axis replicated)."""
+    from lightgrad_tpu import models, parallel
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.models.gpt import GPT, GPTConfig
+
+    cfg = dict(vocab_size=64, n_positions=16, n_embd=32, n_layer=3, n_head=2,
+               scan_layers=True)
+    np.random.seed(0)
+    ref = GPT(GPTConfig(**cfg))
+    np.random.seed(0)
+    sharded = GPT(GPTConfig(**cfg))
+    mesh = parallel.make_mesh(dp=2, tp=4)
+    parallel.shard_module(sharded, mesh, parallel.GPT_TP_RULES)
+
+    qkv = dict(sharded.named_parameters())["h.attn__c_attn__weight"]
+    shard_shapes = {s.data.shape for s in qkv.data.addressable_shards}
+    assert shard_shapes == {(3, 24, 32)}, shard_shapes  # (L, 3h/4, h)
+
+    rng = np.random.default_rng(1)
+    ids = TpuTensor.from_numpy(rng.integers(0, 64, (2, 8)).astype(np.int32),
+                               requires_grad=False)
+    tgt = TpuTensor.from_numpy(rng.integers(0, 64, (16,)).astype(np.int32),
+                               requires_grad=False)
+
+    def losses_of(model):
+        optim = light.optim.Adam(model.parameters(), lr=1e-3)
+
+        def step():
+            logits = model(ids).reshape(16, 64)
+            loss = light.loss.cross_entropy(logits, tgt)
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            return loss
+
+        fn = light.jit(step)
+        return [float(fn().item()) for _ in range(4)]
+
+    la = losses_of(ref)
+    lb = losses_of(sharded)
+    np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-5)
+    assert lb[-1] < lb[0], lb
