@@ -169,3 +169,66 @@ def test_interleaved_module_bridge():
             np.testing.assert_allclose(
                 p.grad.numpy(), want[s_idx][n], rtol=3e-4, atol=3e-5,
                 err_msg=f"stage {s_idx} {n}")
+
+
+@needs_mesh
+def test_interleaved_gpt_block_stack():
+    """A real GPT transformer block stack (models/gpt.py GPTBlock: causal
+    flash attention + gelu MLP + LayerNorms, ~50k params per block) drives
+    through module_stages_interleaved + pipeline_train_1f1b_interleaved on
+    pp=2 with 2 virtual chunks; per-block grads match the sequential tape
+    (ROADMAP 'Parallelism': model-level interleaved pipeline run)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.models.gpt import GPTBlock, GPTConfig
+    from lightgrad_tpu.parallel import make_mesh
+    from lightgrad_tpu.parallel.pipeline_1f1b_interleaved import (
+        pipeline_train_1f1b_interleaved, module_stages_interleaved,
+        load_module_grads_interleaved)
+
+    Pn, Vv, n_micro, mb, seq = 2, 2, 4, 2, 8
+    cfg = GPTConfig(vocab_size=32, n_positions=seq, n_embd=16, n_layer=4,
+                    n_head=2)
+    np.random.seed(7)
+    blocks = [GPTBlock(cfg) for _ in range(Pn * Vv)]
+    stage_fn, stacked = module_stages_interleaved(blocks, Pn, Vv)
+    mesh = make_mesh(dp=1, tp=1, pp=Pn)
+    stacked = {n: jax.device_put(a, NamedSharding(mesh, P("pp")))
+               for n, a in stacked.items()}
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(n_micro, mb, seq, cfg.n_embd))
+                    .astype(np.float32) * 0.5)
+    y = jnp.asarray(rng.normal(size=(n_micro, mb, seq, cfg.n_embd))
+                    .astype(np.float32) * 0.5)
+
+    loss, grads = pipeline_train_1f1b_interleaved(
+        stage_fn, loss_fn=lambda out, tgt: jnp.mean((out - tgt) ** 2),
+        stacked_params=stacked, x_micro=x, y_micro=y, mesh=mesh, axis="pp",
+        n_chunks=Vv)
+
+    for b in blocks:
+        for p in b.parameters():
+            p.zero_grad()
+    total = None
+    for m in range(n_micro):
+        h = TpuTensor.from_numpy(np.asarray(x[m]), requires_grad=False)
+        for blk in blocks:
+            h = blk(h)
+        tgt = TpuTensor.from_numpy(np.asarray(y[m]), requires_grad=False)
+        lm = light.loss.mse(h, tgt) * 2.0
+        total = lm if total is None else total + lm
+    mean_loss = total * (1.0 / n_micro)
+    mean_loss.backward()
+    np.testing.assert_allclose(float(loss), float(mean_loss.item()),
+                               rtol=2e-5)
+
+    want = [{n: p.grad.numpy().copy() for n, p in b.named_parameters()}
+            for b in blocks]
+    load_module_grads_interleaved(blocks, grads, Pn, Vv)
+    for s_idx, b in enumerate(blocks):
+        for n, p in b.named_parameters():
+            np.testing.assert_allclose(
+                p.grad.numpy(), want[s_idx][n], rtol=5e-4, atol=5e-5,
+                err_msg=f"stage {s_idx} {n}")
