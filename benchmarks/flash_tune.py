@@ -68,13 +68,33 @@ def bench_shape(bh, s, d, causal=False):
         except Exception as e:  # Mosaic rejections etc.
             print(f"  bq={bq} bk={bk}: FAILED {type(e).__name__}: {str(e)[:120]}",
                   flush=True)
-    A.set_flash_blocks(256, 512)
+    A.set_flash_blocks(512, 512)  # restore the production default
     return results
 
 
 def main():
     causal = "--causal" in sys.argv
     print(f"device: {jax.devices()[0]}")
+    if "--per-pass" in sys.argv:
+        # fwd blocks fixed at the sweep winner; vary each backward pass's
+        # blocks independently (the dq pass streams k, the dkv pass streams
+        # q -- their reuse patterns differ)
+        global CONFIGS
+        CONFIGS = [(512, 512)]
+        # one pass varied at a time (16 combos won't fit the tunnel's
+        # compile budget; the passes are independent kernels anyway)
+        settings = [(None, None)]
+        settings += [(blk, None) for blk in
+                     [(256, 512), (512, 256), (1024, 512)]]
+        settings += [(None, blk) for blk in
+                     [(256, 512), (512, 256), (512, 1024)]]
+        for dq_blk, dkv_blk in settings:
+            A.set_flash_bwd_blocks(dq=dq_blk, dkv=dkv_blk)
+            print(f"dq={dq_blk or 'fwd'} dkv={dkv_blk or 'fwd'}:", flush=True)
+            for bh, s, d in ((96, 2048, 64), (48, 2048, 128)):
+                bench_shape(bh, s, d, causal=causal)
+        A.set_flash_bwd_blocks()
+        return
     if "--ab" in sys.argv:
         # same-session fused vs two-pass backward comparison (chip variance
         # is 2-3x across hours; only in-session rankings are trustworthy)

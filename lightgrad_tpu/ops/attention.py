@@ -329,6 +329,23 @@ def _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=None):
     return jnp.sum(dqu, axis=0).astype(q.dtype), dk, dv
 
 
+# optional per-pass backward block overrides: the dq pass (k streams) and
+# the dk/dv pass (q streams) have different reuse patterns, so their optima
+# can differ from the forward's.  None -> use _attn_blocks (the fwd shape).
+_BWD_DQ_BLOCKS = None
+_BWD_DKV_BLOCKS = None
+
+
+def set_flash_bwd_blocks(dq=None, dkv=None):
+    """Override (bq, bk) separately for the two backward passes
+    (tuning-harness hook, benchmarks/flash_tune.py --per-pass)."""
+    global _BWD_DQ_BLOCKS, _BWD_DKV_BLOCKS
+    prev = (_BWD_DQ_BLOCKS, _BWD_DKV_BLOCKS)
+    _BWD_DQ_BLOCKS, _BWD_DKV_BLOCKS = dq, dkv
+    _build.cache_clear()
+    return prev
+
+
 def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
@@ -343,31 +360,35 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     if _FUSED_BWD:
         return _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=vma)
 
+    sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
+
+    bq1, bk1 = _BWD_DQ_BLOCKS or (bq, bk)
+    nq1, nk1 = cdiv(s, bq1), cdiv(s, bk1)
     row = lambda h, i, j: (h, i, 0)
     col = lambda h, i, j: (h, j, 0)
-    row_spec = lambda w: pl.BlockSpec((1, bq, w), row, memory_space=pltpu.VMEM)
-    col_spec = lambda w: pl.BlockSpec((1, bk, w), col, memory_space=pltpu.VMEM)
-
-    sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
+    row_spec = lambda w: pl.BlockSpec((1, bq1, w), row, memory_space=pltpu.VMEM)
+    col_spec = lambda w: pl.BlockSpec((1, bk1, w), col, memory_space=pltpu.VMEM)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
-        grid=(b, nq, nk),
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk1, bk=bk1, bq=bq1, s=s, causal=causal),
+        grid=(b, nq1, nk1),
         in_specs=[row_spec(d), col_spec(d), col_spec(d), row_spec(d),
                   row_spec(1), row_spec(1)],
         out_specs=row_spec(d),
         out_shape=sds((b, s, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq1, d), jnp.float32)],
         interpret=interpret(),
     )(q, k, v, g, lse, dcap)
 
     # second pass: swap the roles -- k blocks are resident, q streams
+    bq2, bk2 = _BWD_DKV_BLOCKS or (bq, bk)
+    nq2, nk2 = cdiv(s, bq2), cdiv(s, bk2)
     krow = lambda h, j, i: (h, i, 0)
     kcol = lambda h, j, i: (h, j, 0)
-    q_spec = lambda w: pl.BlockSpec((1, bq, w), krow, memory_space=pltpu.VMEM)
-    k_spec = lambda w: pl.BlockSpec((1, bk, w), kcol, memory_space=pltpu.VMEM)
+    q_spec = lambda w: pl.BlockSpec((1, bq2, w), krow, memory_space=pltpu.VMEM)
+    k_spec = lambda w: pl.BlockSpec((1, bk2, w), kcol, memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq, bk=bk, bq=bq, s=s, causal=causal),
-        grid=(b, nk, nq),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2, bk=bk2, bq=bq2, s=s, causal=causal),
+        grid=(b, nk2, nq2),
         in_specs=[q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1), q_spec(1)],
         out_specs=[k_spec(d), k_spec(d)],
         out_shape=[
@@ -375,8 +396,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
             sds((b, s, d), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bk, d), jnp.float32),
-            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
+            pltpu.VMEM((bk2, d), jnp.float32),
         ],
         interpret=interpret(),
     )(q, k, v, g, lse, dcap)
