@@ -328,8 +328,15 @@ def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
     np.random.seed(0)
     cfg = GPTConfig(vocab_size=50304, n_positions=seq, n_embd=768,
                     n_layer=12, n_head=12, scan_layers=True)
-    model = GPT(cfg)
-    mp = light.amp.MixedPrecision(model, lambda ps: light.optim.Adam(ps, lr=3e-4))
+    # device-side init: the host-RNG path uploads ~750 MB of params+masters
+    # through the (possibly tunneled) device link -- ~300 s of pure transfer
+    # before a single timed step; jax.random generates them in HBM directly
+    light.set_device_init(0)
+    try:
+        model = GPT(cfg)
+        mp = light.amp.MixedPrecision(model, lambda ps: light.optim.Adam(ps, lr=3e-4))
+    finally:
+        light.set_device_init(None)
     n_params = sum(p.numel() for p in model.parameters())
 
     rng = np.random.default_rng(0)

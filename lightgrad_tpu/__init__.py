@@ -18,6 +18,7 @@ from .autograd import (
     no_grad,
 )
 from .utils.profiler import Profiler
+from .autograd.tpu.tensor import set_device_init
 from .jit import jit
 from . import amp, random, checkpoint, parallel, schedule
 

@@ -47,9 +47,22 @@ def cast_module(module, dtype=jnp.bfloat16):
     def cast(p):
         with Gradients.no_grad():
             q = p.astype(dtype)
+        _mirror_host_value(p, q)
         return q.detach()._set_requires_grad(p.requires_grad)
 
     return module.map_parameters(cast)
+
+
+def _mirror_host_value(src, dst):
+    """Carry a host-born value cache through a dtype cast: the jit recorder's
+    CPU staging (jit.py) then rebuilds ``dst``'s buffer locally instead of
+    pulling it through the device link.  Host-side numpy astype uses the same
+    round-to-nearest-even as the device cast."""
+    hv = getattr(src, "_host_value", None)
+    if hv is not None and hasattr(dst, "_host_value"):
+        import numpy as np
+
+        dst._host_value = hv.astype(np.dtype(dst.dtype))
 
 
 class GradScaler:
@@ -75,6 +88,9 @@ class GradScaler:
         self._count = None   # consecutive good steps
 
     def _materialize(self, cls):
+        # must run BEFORE a wrapping light.jit records (MixedPrecision's
+        # constructor calls this): tensors created inside the recorded step
+        # are not captured as runtime inputs
         if self._scale is None:
             self._scale = cls.from_numpy(
                 np.asarray(self._init, np.float32), requires_grad=False)
@@ -140,14 +156,23 @@ class MixedPrecision:
         self.compute_dtype = compute_dtype
         self.scaler = scaler
         with Gradients.no_grad():
-            self.masters = [
-                p.astype(jnp.float32).detach()._set_requires_grad(True)
-                for p in model.parameters()
-            ]
+            self.masters = []
+            for p in model.parameters():
+                m = p.astype(jnp.float32).detach()._set_requires_grad(True)
+                _mirror_host_value(p, m)
+                self.masters.append(m)
         cast_module(model, compute_dtype)
         self.compute_params = list(model.parameters())
         assert len(self.compute_params) == len(self.masters)
         self.optim = optimizer_factory(self.masters)
+        # materialize scaler state NOW: tensor state created lazily inside
+        # the first step is invisible to the jit step-compiler's capture set
+        # (it would be baked as a constant -- scale/count frozen at their
+        # step-1 values under eager recording, zeroed under abstract
+        # discovery).  Pre-created state is captured and donated like
+        # optimizer moments, so dynamic scale growth works inside jit.
+        if scaler is not None and self.masters:
+            scaler._materialize(type(self.masters[0]))
 
     def zero_grad(self):
         for p in self.compute_params:

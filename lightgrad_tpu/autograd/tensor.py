@@ -48,9 +48,19 @@ class AbstractTensor:
         return self
 
     def _set_data(self, data) -> "AbstractTensor":
-        self.__data = data
+        # hook BEFORE the assignment: the jit recorder's abstract mode
+        # snapshots the pre-write buffer on first write so discovery can be
+        # undone (the compiled program then applies the real first step)
         if _trace is not None:
             _trace.on_write(self)
+        self.__data = data
+        return self
+
+    def _swap_data_raw(self, data) -> "AbstractTensor":
+        """Set the backing buffer without firing trace hooks or cache
+        invalidation (jit.py internal: swap tracers in/out around abstract
+        discovery, restore snapshots afterwards)."""
+        self.__data = data
         return self
 
     def _set_requires_grad(self, flag: bool) -> "AbstractTensor":

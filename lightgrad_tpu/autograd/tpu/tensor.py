@@ -40,13 +40,67 @@ from ...utils.profiler import set_sync_fn
 set_sync_fn(_sync)
 
 
+# device-side initialization (opt-in): a jax PRNG key chain used by
+# TpuTensor.uniform instead of host numpy + upload.  None -> host RNG.
+_DEVICE_INIT_KEY = None
+
+
+def set_device_init(seed=None):
+    """Route parameter initialization through the on-device jax PRNG.
+
+    ``set_device_init(seed)`` makes ``Tensor.uniform`` (and everything built
+    on it: xavier, fan-in init, every nn layer constructor) generate directly
+    in device memory; ``set_device_init(None)`` restores the host-numpy RNG
+    (reproducibility parity with the reference, which seeds ``np.random``).
+    Use when constructing big models from scratch: the host path uploads
+    every buffer through the device link (slow on tunneled/remote chips),
+    the device path moves no bytes.
+    """
+    global _DEVICE_INIT_KEY
+    _DEVICE_INIT_KEY = None if seed is None else jax.random.PRNGKey(int(seed))
+
+
+def _device_init_key():
+    return _DEVICE_INIT_KEY
+
+
+def _next_device_init_key():
+    global _DEVICE_INIT_KEY
+    _DEVICE_INIT_KEY, k = jax.random.split(_DEVICE_INIT_KEY)
+    return k
+
+
 class TpuTensor(AbstractTensor):
+    # host-born value cache: tensors created from numpy keep their host copy
+    # so the jit recorder's CPU staging (jit.py _Recorder.on_read) can rebuild
+    # the host buffer locally instead of pulling the device array back through
+    # a (possibly tunneled, ~MB/s) device link.  Invalidated on any buffer
+    # swap; costs host RAM equal to the host-born tensors alive (params,
+    # device-resident datasets) -- the exact set the recorder reads.
+    _host_value = None
+
     def __init__(self, data, requires_grad: bool = True, dtype=None):
+        host_value = None
         if not isinstance(data, jax.Array):
-            data = jnp.asarray(data, dtype=dtype)
+            host_value = np.asarray(data, dtype=dtype)
+            data = jnp.asarray(host_value)
         elif dtype is not None and data.dtype != dtype:
             data = data.astype(dtype)
         super().__init__(data, requires_grad=requires_grad)
+        if (host_value is not None and host_value.nbytes >= (1 << 16)
+                and host_value.dtype == np.dtype(data.dtype)):
+            # small tensors aren't worth the RAM/bookkeeping; a dtype change
+            # during jnp.asarray (e.g. f64 list inputs narrowed by 32-bit
+            # mode) makes the host copy unusable as a stand-in
+            self._host_value = host_value
+
+    def _set_data(self, data):
+        # super() fires the jit recorder's on_write hook BEFORE the swap, and
+        # the abstract-mode pre-write snapshot wants the host mirror intact --
+        # only invalidate it once the new buffer is actually in place
+        r = super()._set_data(data)
+        self._host_value = None
+        return r
 
     @property
     def dtype(self):
@@ -72,10 +126,21 @@ class TpuTensor(AbstractTensor):
 
     @staticmethod
     def uniform(low, high, shape, requires_grad: bool = True) -> "TpuTensor":
+        if _device_init_key() is not None:
+            # device-side init (opt-in, set_device_init): the host-RNG path
+            # below uploads every parameter through the device link -- ~300 s
+            # of a GPT-2 124M build through the tunneled chip is that
+            # transfer -- while jax.random generates in HBM directly
+            a = jax.random.uniform(
+                _next_device_init_key(), shape, jnp.float32,
+                minval=float(low), maxval=float(high))
+            return TpuTensor(a, requires_grad=requires_grad)
         # host-side numpy RNG for reproducibility parity with the reference
         # (tests seed np.random); jax PRNG is used on the functional path
         a = np.random.uniform(low, high, size=shape).astype(np.float32)
-        return TpuTensor(jnp.asarray(a), requires_grad=requires_grad)
+        # pass the RAW numpy through: __init__ keeps it as the host-value
+        # cache the jit recorder stages from (no device->host pull)
+        return TpuTensor(a, requires_grad=requires_grad)
 
     @staticmethod
     def from_numpy(a: np.ndarray, requires_grad: bool = True) -> "TpuTensor":
@@ -87,7 +152,8 @@ class TpuTensor(AbstractTensor):
             )
         else:
             dtype = np.float32
-        return TpuTensor(jnp.asarray(a, dtype=dtype), requires_grad=requires_grad)
+        # raw numpy in: __init__ caches it as the staging host value
+        return TpuTensor(a, requires_grad=requires_grad, dtype=dtype)
 
     def copy(self, requires_grad: bool = True) -> "TpuTensor":
         # jax.Arrays are immutable; aliasing is a correct zero-cost copy

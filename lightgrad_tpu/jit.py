@@ -24,10 +24,16 @@ Contract for the wrapped function:
   tensors will fail under tracing -- call them on the returned tensors);
 * python-level state must live in tensors (our optimizers comply).
 
-The first call per signature runs eagerly (a real step) while recording; the
-second call traces and compiles; subsequent calls dispatch the compiled
-program and write mutated buffers back into the original tensor objects.
+The first call per signature discovers the read/write/capture sets by
+ABSTRACT tracing (``jax.eval_shape`` -- no array math runs), then traces,
+compiles and dispatches the real first step as the compiled program;
+subsequent calls dispatch the compiled program and write mutated buffers
+back into the original tensor objects.  ``LIGHTGRAD_RECORD=eager`` restores
+the round-2 behavior (first call runs a real eager step on the host backend
+while recording; the second call compiles).
 """
+
+import weakref
 
 import jax
 
@@ -59,12 +65,19 @@ class _Recorder:
     are pushed back to their original device/sharding afterwards.
     """
 
-    def __init__(self, stage_to_cpu=False):
+    def __init__(self, stage_to_cpu=False, abstract=False):
         self.reads = {}
         self.writes = {}
         self.created = set()
         self.staged = {}        # id(tensor) -> cpu copy of its original buffer
         self.orig_place = {}    # id(tensor) -> original sharding
+        self.abstract = abstract
+        self.arg_ids = frozenset()
+        # abstract mode: pre-write snapshots of pre-existing tensors
+        # (id -> (data, ctx, host_value)) and weakrefs to tensors created
+        # during discovery (their post-discovery tracers must be sanitized)
+        self.pre_write = {}
+        self.created_refs = weakref.WeakValueDictionary()
         self.cpu = None
         if stage_to_cpu:
             try:
@@ -80,16 +93,48 @@ class _Recorder:
                 cached = self.staged.get(id(t))
                 if cached is None or cached[0] is not d:
                     self.orig_place.setdefault(id(t), d.sharding)
-                    cached = (d, jax.device_put(d, self.cpu))
+                    # host-born tensors (params, device datasets) keep their
+                    # numpy copy -- rebuild the CPU buffer locally instead of
+                    # pulling the device array back over the device link
+                    # (through the tunneled chip that pull runs at ~MB/s and
+                    # dominated big-model recording: 124M params ~= 13 min)
+                    hv = getattr(t, "_host_value", None)
+                    src = hv if hv is not None else d
+                    cached = (d, jax.device_put(src, self.cpu))
                     self.staged[id(t)] = cached
                 return cached[1]
         return d
 
     def on_write(self, t):
-        self.writes.setdefault(id(t), t)
+        # called BEFORE the buffer swap (tensor._set_data), so in abstract
+        # mode the first write of a pre-existing tensor can snapshot the
+        # value discovery is about to clobber with a tracer
+        if id(t) not in self.writes:
+            self.writes[id(t)] = t
+            if (self.abstract and id(t) not in self.created
+                    and id(t) not in self.arg_ids):
+                self.pre_write[id(t)] = (
+                    t._raw_data(), t.ctx, getattr(t, "_host_value", None))
 
     def on_create(self, t):
         self.created.add(id(t))
+        if self.abstract:
+            self.created_refs[id(t)] = t
+
+    def sanitize_created(self):
+        """Replace dead tracers left in still-referenced tensors created
+        during abstract discovery (p.grad buffers and the like) with
+        concrete zeros -- the same post-zero_grad state an eager first step
+        leaves behind.  Call after dropping ``reads`` so discovery
+        intermediates are freed instead of materialized."""
+        import jax.numpy as jnp
+        from jax.core import Tracer
+
+        for t in list(self.created_refs.values()):
+            d = t._raw_data()
+            if isinstance(d, Tracer):
+                t._swap_data_raw(jnp.zeros(d.shape, d.dtype))
+                t._set_ctx(None)
 
     def restore_devices(self):
         """Move buffers written during recording back to their device."""
@@ -143,8 +188,125 @@ class _CompiledStep:
             self._compile(state, args)
         return self._run(state, args)
 
-    # -- phase 1: real eager step, discovering reads/writes/captures --------
+    # -- phase 1: discover reads/writes/captures -----------------------------
     def _record(self, sig, args):
+        import os
+
+        # abstract discovery (default): trace fn under jax.eval_shape -- zero
+        # FLOPs, zero per-op compiles.  Anything it cannot handle (concrete
+        # value inspection inside fn) would also fail the phase-2 jax.jit
+        # trace, so it imposes no NEW constraint; the eager path remains for
+        # debugging (LIGHTGRAD_RECORD=eager) and as an automatic fallback.
+        if os.environ.get("LIGHTGRAD_RECORD", "abstract") == "abstract":
+            try:
+                return self._record_abstract(sig, args)
+            except Exception as e:  # state restored by _record_abstract
+                import warnings
+
+                warnings.warn(
+                    f"abstract recording failed ({type(e).__name__}: {e}); "
+                    "falling back to eager recording "
+                    "(set LIGHTGRAD_RECORD=eager to silence)")
+        return self._record_eager(sig, args)
+
+    def _finish_record(self, sig, rec, args):
+        """Build the per-signature state dict from a completed discovery."""
+        arg_ids = {id(t) for t in args if _is_tensor(t)}
+        captured = [
+            t
+            for tid, t in rec.reads.items()
+            if tid not in rec.created and tid not in arg_ids
+        ]
+        mutated = [
+            t for tid, t in rec.writes.items() if tid not in rec.created
+        ]
+        state = {
+            "captured": captured,
+            "mutated": mutated,
+            # ALL written tensors, including ones created during recording
+            # that persist as object state (e.g. p.grad buffers attached to
+            # params): tracing overwrites their data with tracers, and they
+            # are not in the swap list, so the trace must restore them too
+            # or the next eager step reads a leaked tracer
+            "written": list(rec.writes.values()),
+            "compiled": None,
+            "epoch": _capture_epoch,
+        }
+        self.cache[sig] = state
+        return state
+
+    # -- phase 1, abstract mode: eval_shape discovery ------------------------
+    def _record_abstract(self, sig, args):
+        """Discover the read/write/capture sets by ABSTRACT tracing.
+
+        ``jax.eval_shape`` runs fn with shape/dtype tracers standing in for
+        the tensor arguments: the whole tape (forward, backward walk,
+        optimizer update) executes as Python, but no array math runs and no
+        per-op XLA program is built.  Pre-existing state written during
+        discovery is snapshot-restored; the REAL first step is then the
+        compiled program itself (device numerics, not a host emulation).
+        Measured motivation: the eager recording of a GPT-2 124M AMP step
+        costs ~12 min of XLA:CPU compute+compiles (~19 min through the
+        tunneled chip even with host-mirrored params); abstract discovery is
+        seconds.
+        """
+        rec = _Recorder(stage_to_cpu=False, abstract=True)
+        tensor_args = [t for t in args if _is_tensor(t)]
+        rec.arg_ids = frozenset(id(t) for t in tensor_args)
+        orig_args = [
+            (t, t._raw_data(), t.ctx, getattr(t, "_host_value", None))
+            for t in tensor_args
+        ]
+        structs = [
+            jax.ShapeDtypeStruct(d.shape, d.dtype) for _, d, _, _ in orig_args
+        ]
+
+        def discover(arg_datas):
+            for t, d in zip(tensor_args, arg_datas):
+                t._swap_data_raw(d)
+            with _TraceScope(rec):
+                self.fn(*args)
+            return ()
+
+        ok = False
+        try:
+            jax.eval_shape(discover, structs)
+            ok = True
+        finally:
+            # undo discovery: pre-existing tensors get their pre-write
+            # buffers back (params/optimizer state/args)
+            for tid, (d, c, hv) in rec.pre_write.items():
+                t = rec.writes[tid]
+                t._swap_data_raw(d)
+                t._set_ctx(c)
+                if hv is not None:
+                    t._host_value = hv
+            for t, d, c, hv in orig_args:
+                t._swap_data_raw(d)
+                t._set_ctx(c)
+                if hv is not None:
+                    t._host_value = hv
+            if not ok:
+                # failed mid-discovery: scrub whatever is still reachable so
+                # the eager fallback does not trip over dead tracers
+                rec.reads = {}
+                rec.sanitize_created()
+
+        state = self._finish_record(sig, rec, args)
+        # drop the read set's strong references BEFORE sanitizing: it pins
+        # every intermediate read during discovery, and only tensors still
+        # referenced elsewhere (p.grad buffers, stray step state) need a
+        # concrete stand-in buffer
+        rec.reads = {}
+        rec.sanitize_created()
+        # the discovery step computed nothing -- compile now and make the
+        # first call's result the compiled program's (one real step applied,
+        # same as the eager contract)
+        self._compile(state, args)
+        return self._run(state, args)
+
+    # -- phase 1, eager mode: real step on the host backend ------------------
+    def _record_eager(self, sig, args):
         import contextlib
         import os
 
@@ -169,16 +331,28 @@ class _CompiledStep:
         # so raising it only for the staged window leaves tunneled TPU
         # compiles fully cached.
         cache_floor_raised = False
+        fast_staging = False
         try:
             if rec.cpu is not None:
                 _runtime._staging = True  # pallas can't run on the host backend
                 jax.config.update(
                     "jax_persistent_cache_min_compile_time_secs", 1e9)
                 cache_floor_raised = True
+                # the staged window's per-op XLA:CPU compiles are pure
+                # recording overhead (their outputs only seed the tape; the
+                # production program is the later device compile), and on
+                # hosts whose CPU AOT cache is broken they are re-paid every
+                # process -- skip the optimization pipeline for them.
+                # LIGHTGRAD_STAGE_FAST=0 restores full optimization.
+                if os.environ.get("LIGHTGRAD_STAGE_FAST") != "0":
+                    jax.config.update("jax_disable_most_optimizations", True)
+                    fast_staging = True
             with _TraceScope(rec), dev_ctx:
                 out = self.fn(*args)
         finally:
             _runtime._staging = False
+            if fast_staging:
+                jax.config.update("jax_disable_most_optimizations", False)
             if cache_floor_raised:
                 jax.config.update(
                     "jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -191,27 +365,7 @@ class _CompiledStep:
                     d = leaf._raw_data()
                     if isinstance(d, jax.Array) and next(iter(d.devices())).platform == "cpu":
                         leaf._set_data(jax.device_put(d, default))
-        arg_ids = {id(t) for t in args if _is_tensor(t)}
-        captured = [
-            t
-            for tid, t in rec.reads.items()
-            if tid not in rec.created and tid not in arg_ids
-        ]
-        mutated = [
-            t for tid, t in rec.writes.items() if tid not in rec.created
-        ]
-        self.cache[sig] = {
-            "captured": captured,
-            "mutated": mutated,
-            # ALL written tensors, including ones created during recording
-            # that persist as object state (e.g. p.grad buffers attached to
-            # params): tracing overwrites their data with tracers, and they
-            # are not in the swap list, so the trace must restore them too
-            # or the next eager step reads a leaked tracer
-            "written": list(rec.writes.values()),
-            "compiled": None,
-            "epoch": _capture_epoch,
-        }
+        self._finish_record(sig, rec, args)
         return out
 
     # -- phase 2: phantom traced run -> single XLA executable ---------------

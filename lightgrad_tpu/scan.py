@@ -112,6 +112,14 @@ class ScannedStack(nn.Module):
                 )
                 per.append(p.data)
             t = TpuTensor(jnp.stack(per), requires_grad=True)
+            # mirror the stack on the host when every per-layer param kept
+            # its host-born value: the jit recorder's CPU staging then
+            # rebuilds the (L, ...) buffer locally instead of pulling it
+            # back through the (possibly tunneled) device link
+            host_per = [getattr(b_p, "_host_value", None) for b_p in
+                        (dict(b.named_parameters())[n] for b in blocks)]
+            if all(h is not None for h in host_per):
+                t._host_value = np.stack(host_per)
             key = n.replace(".", "__")
             setattr(self, key, t)  # registers as parameter
             name_map[n] = key
