@@ -89,7 +89,16 @@ class CausalSelfAttention(nn.Module):
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, b, heads, s, hd)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = 1.0 / np.sqrt(self.head_dim)
-        if hasattr(q, "attention"):
+        sp = getattr(self, "_sequence_parallel", None)
+        if sp is not None and hasattr(q, "ring_attention"):
+            # sequence-parallel ring attention (parallel/ring_attention.py):
+            # K/V shards rotate via ppermute, causal rounds for strictly-
+            # future chunks are skipped.  Position embeddings were applied
+            # on the global sequence upstream, so shards carry true offsets.
+            mesh, axis, batch_axis = sp
+            y = q.ring_attention(k, v, scale=scale, mesh=mesh, axis=axis,
+                                 causal=True, batch_axis=batch_axis)
+        elif hasattr(q, "attention"):
             y = q.attention(k, v, scale=scale, causal=True)
         else:
             scores = (q @ k.transpose(0, 1, 3, 2)) * scale

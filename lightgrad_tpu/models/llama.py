@@ -108,7 +108,15 @@ class LlamaAttention(nn.Module):
             v = v[:, idx]
 
         scale = 1.0 / np.sqrt(hd)
-        if hasattr(q, "attention"):
+        sp = getattr(self, "_sequence_parallel", None)
+        if sp is not None and hasattr(q, "ring_attention"):
+            # sequence-parallel ring attention; RoPE was applied on the
+            # global sequence above, so sharded chunks carry true positions
+            # (GQA repeat already expanded K/V to full head count)
+            mesh, axis, batch_axis = sp
+            ctx = q.ring_attention(k, v, scale=scale, mesh=mesh, axis=axis,
+                                   causal=True, batch_axis=batch_axis)
+        elif hasattr(q, "attention"):
             ctx = q.attention(k, v, scale=scale, causal=True)
         else:
             scores = (q @ k.transpose(0, 1, 3, 2)) * scale

@@ -103,6 +103,15 @@ class Module:
         for name, m in self._modules.items():
             yield from m.named_parameters(prefix=prefix + name, separator=separator)
 
+    def zero_grad(self):
+        """Zero every parameter's gradient (torch contract; equivalent to
+        ``Optimizer.zero_grad`` for the module's own parameters — useful in
+        gradient-accumulation loops that step less often than they
+        backward)."""
+        for p in self.parameters():
+            p.zero_grad()
+        return self
+
     def map_parameters(self, fn):
         """Apply ``fn`` to every parameter (e.g. ``lambda p: p.tpu()``)."""
         for key, p in list(self._params.items()):

@@ -32,7 +32,8 @@ def enable_sequence_parallel(module, mesh, axis: str = "sp",
     stack = [module]
     while stack:
         m = stack.pop()
-        if type(m).__name__ in ("BertSelfAttention", "CausalSelfAttention"):
+        if type(m).__name__ in ("BertSelfAttention", "CausalSelfAttention",
+                                "LlamaAttention"):
             object.__setattr__(m, "_sequence_parallel", (mesh, axis, batch_axis))
             count += 1
         stack.extend(m._modules.values())

@@ -565,3 +565,37 @@ def test_clip_grad_norm(backend_cls):
             np.full((3, 3), 0.01, np.float32), requires_grad=False))
     light.optim.clip_grad_norm(ps, max_norm=1.0)
     np.testing.assert_allclose(ps[0].grad.numpy(), 0.01, rtol=1e-5)
+
+
+def test_gradient_accumulation_matches_big_batch():
+    """K micro-batch backward() calls accumulate into .grad exactly like one
+    big-batch backward scaled by 1/K (mean-loss convention) -- the standard
+    micro-batching recipe; works eagerly and under light.jit identically
+    because the tape adds into existing .grad buffers."""
+    np.random.seed(4)
+    x_np = np.random.normal(size=(8, 6)).astype(np.float32)
+    y_np = np.random.normal(size=(8, 3)).astype(np.float32)
+
+    def build():
+        np.random.seed(5)
+        m = nn.Linear(6, 3)
+        return m
+
+    # one big batch
+    m1 = build()
+    loss = light.loss.mse(m1(TpuTensor.from_numpy(x_np)),
+                          TpuTensor.from_numpy(y_np, requires_grad=False))
+    loss.backward()
+    want = m1.weight.grad.numpy()
+
+    # 4 micro-batches of 2, each loss scaled by 1/4 (mse averages within
+    # the micro-batch; equal sizes make the grand mean exact)
+    m2 = build()
+    m2.zero_grad()
+    for i in range(4):
+        xs = TpuTensor.from_numpy(x_np[2 * i:2 * i + 2])
+        ys = TpuTensor.from_numpy(y_np[2 * i:2 * i + 2], requires_grad=False)
+        micro = light.loss.mse(m2(xs), ys) * (1.0 / 4.0)
+        micro.backward()
+    got = m2.weight.grad.numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

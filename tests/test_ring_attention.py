@@ -207,3 +207,48 @@ def test_bert_with_ring_attention_matches_dense():
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
     finally:
         runtime.set_kernel_mode(prev)
+
+
+@needs_mesh
+@pytest.mark.parametrize("family", ["gpt", "llama"])
+def test_causal_lm_with_ring_attention_matches_dense(family):
+    """enable_sequence_parallel swaps GPT/LLaMA attention onto the causal
+    ring path; logits must match the single-device path.  (LLaMA also
+    exercises RoPE-before-sharding and the GQA head expansion.)"""
+    import lightgrad_tpu as light
+    from lightgrad_tpu import models, parallel
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.ops import runtime
+
+    prev = runtime.set_kernel_mode("xla")
+    try:
+        np.random.seed(11)
+        if family == "gpt":
+            cfg = models.GPTConfig(vocab_size=96, n_positions=32, n_embd=32,
+                                   n_layer=2, n_head=2)
+            model = models.GPT(cfg)
+            n_expect = 2
+        else:
+            cfg = models.LlamaConfig(
+                vocab_size=96, hidden_size=32, intermediate_size=64,
+                num_hidden_layers=2, num_attention_heads=4,
+                num_key_value_heads=2, max_position_embeddings=32)
+            model = models.Llama(cfg)
+            n_expect = 2
+        ids_np = np.random.randint(0, 96, (2, 16)).astype(np.int32)
+
+        with light.no_grad():
+            want = model(TpuTensor(jnp.asarray(ids_np),
+                                   requires_grad=False)).numpy()
+
+        mesh = make_mesh(dp=1, tp=1, sp=4)
+        n = parallel.enable_sequence_parallel(model, mesh, axis="sp")
+        assert n == n_expect
+        ids = TpuTensor(
+            jax.device_put(ids_np, NamedSharding(mesh, P(None, "sp"))),
+            requires_grad=False)
+        with light.no_grad():
+            got = model(ids).numpy()
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    finally:
+        runtime.set_kernel_mode(prev)
