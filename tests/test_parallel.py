@@ -50,6 +50,7 @@ def test_dryrun_multichip():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # 85 s: GPipe shard_map compile on the 1-core host
 @needs_mesh
 def test_pipeline_parallel_matches_sequential():
     """GPipe schedule over pp=4 == sequential stage application, fwd and grad."""
@@ -368,6 +369,7 @@ def test_moe_topk_expert_parallel():
     assert losses[-1] < losses[0], losses[::8]
 
 
+@pytest.mark.slow  # 99 s: interleaved shard_map compile
 @needs_mesh
 def test_interleaved_pipeline_matches_sequential():
     """Virtual-stage interleaved schedule: outputs equal running all P*V

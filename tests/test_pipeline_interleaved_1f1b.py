@@ -104,6 +104,7 @@ def test_interleaved_schedule_shape():
         assert busy <= t <= busy + 4 * pp * vv + 4, (mm, pp, vv, t)
 
 
+@pytest.mark.slow  # 387 s: eager tape oracle re-pays per-op XLA:CPU compiles
 @needs_mesh
 def test_interleaved_module_bridge():
     """nn.Module blocks -> interleaved-1F1B via the data-swap bridge; grads
@@ -171,6 +172,7 @@ def test_interleaved_module_bridge():
                 err_msg=f"stage {s_idx} {n}")
 
 
+@pytest.mark.slow  # 476 s: interpret-mode flash + tape oracle
 @needs_mesh
 def test_interleaved_gpt_block_stack():
     """A real GPT transformer block stack (models/gpt.py GPTBlock: causal

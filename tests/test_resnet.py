@@ -2,6 +2,7 @@
 jit-compiled training (buffer writes captured), small-task convergence."""
 
 import numpy as np
+import pytest
 
 import lightgrad_tpu as light
 import lightgrad_tpu.nn as nn
@@ -28,6 +29,7 @@ def test_resnet_shapes():
     assert 0.25e6 < n_params < 0.31e6, n_params  # ResNet-20 is ~0.27M
 
 
+@pytest.mark.slow  # 216 s: deep conv stack jit compile on the 1-core host
 def test_resnet_trains_jit():
     """Tiny ResNet learns synthetic digits under the compiled step; BatchNorm
     running stats advance inside the compiled program."""
