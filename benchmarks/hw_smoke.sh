@@ -23,5 +23,6 @@ run gradient_descent python examples/gradient_descent.py
 run mlp python examples/mnist.py --steps 200
 run cnn python examples/mnist.py --model cnn --steps 120
 run bert python examples/bert.py
+run gpt_char python examples/gpt.py --steps 120
 
 echo "smoke log written to $LOG"

@@ -16,6 +16,23 @@ __all__ = ["Module", "ModuleList", "Linear", "Conv2d", "ConvTranspose2d",
            "BatchNorm2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
 
 
+def _match_placement(new_data, old_data):
+    """Re-place loaded buffers onto the destination's device sharding.
+
+    ``load_parameters`` builds replacement buffers on the default device; a
+    parameter that was sharded over a mesh (``parallel.shard_module``) must
+    not silently collapse to single-device placement on checkpoint resume --
+    the next compiled step would either recompile for the new layout or
+    reshard every step.  No-op for host (numpy) backends and for already-
+    matching placements."""
+    sharding = getattr(old_data, "sharding", None)
+    if sharding is None or getattr(new_data, "sharding", None) == sharding:
+        return new_data
+    import jax
+
+    return jax.device_put(new_data, sharding)
+
+
 def _fan_in_uniform(shape, fan_in):
     """Layer-default initializer: ``U(-1/sqrt(fan_in), +1/sqrt(fan_in))``.
 
@@ -143,7 +160,7 @@ class Module:
             new_data = new_p.data
             if new_data.dtype != p.data.dtype:
                 new_data = new_data.astype(p.data.dtype)
-            p._set_data(new_data)
+            p._set_data(_match_placement(new_data, p.data))
         for key, b in self._buffers.items():
             # buffers load when present (running stats etc.); absent entries
             # keep their initialization -- torch checkpoints may omit e.g.
@@ -159,7 +176,7 @@ class Module:
                 data = new.data
                 if data.dtype != b.data.dtype:
                     data = data.astype(b.data.dtype)
-                b._set_data(data)
+                b._set_data(_match_placement(data, b.data))
         for key, m in self._modules.items():
             m.load_parameters(param_dict, prefix=prefix + key, separator=separator)
 

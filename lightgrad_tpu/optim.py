@@ -11,7 +11,7 @@ SURVEY.md §3.3).
 
 from .autograd import Gradients, AbstractTensor
 
-__all__ = ["Optimizer", "SGD", "Adam", "AdaBelief"]
+__all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief"]
 
 
 class Optimizer:
@@ -49,14 +49,18 @@ class Optimizer:
 
 
 class SGD(Optimizer):
-    """Stochastic gradient descent with optional momentum."""
+    """Stochastic gradient descent with optional momentum and L2 weight decay
+    (torch-style: decay is folded into the gradient before momentum)."""
 
-    def __init__(self, parameters, lr: float, momentum: float = 0.0):
+    def __init__(self, parameters, lr: float, momentum: float = 0.0,
+                 weight_decay: float = 0.0):
         super().__init__(parameters)
-        self.lr, self.momentum = lr, momentum
+        self.lr, self.momentum, self.wd = lr, momentum, weight_decay
         self.velocity = [self._zeros_like(p) for p in self.parameters] if momentum else None
 
     def compute_delta(self, grad, i):
+        if self.wd:
+            grad = grad + self.parameters[i] * self.wd
         if self.velocity is None:
             return grad * (-self.lr)
         v = self.velocity[i]
@@ -121,6 +125,31 @@ class Adam(Optimizer):
         m_hat = m * self._bc1
         v_hat = v * self._bc2
         return m_hat * (-self.lr) / (v_hat ** 0.5 + self.eps)
+
+
+class AdamW(Adam):
+    """Adam with DECOUPLED weight decay (https://arxiv.org/abs/1711.05101).
+
+    The decay term ``-lr * wd * p`` is added to the delta directly instead of
+    being folded into the gradient, so it does not pollute the moment
+    estimates -- the production LLM-training configuration.  Under
+    ``amp.MixedPrecision`` the parameters seen here are the f32 masters, so
+    decay applies to masters (and the gate zeroes it on skipped steps via
+    ``Optimizer.step``).  No counterpart in the reference (its optimizer set
+    is SGD/Adam/AdaBelief, /root/reference/lightgrad/optim.py:17-52).
+    """
+
+    def __init__(self, parameters, lr: float, beta1: float = 0.9,
+                 beta2: float = 0.999, eps: float = 1e-8,
+                 weight_decay: float = 0.01):
+        super().__init__(parameters, lr, beta1, beta2, eps)
+        self.wd = weight_decay
+
+    def compute_delta(self, grad, i):
+        d = super().compute_delta(grad, i)
+        if self.wd:
+            d = d + self.parameters[i] * (-self.lr * self.wd)
+        return d
 
 
 class AdaBelief(Adam):

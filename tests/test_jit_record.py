@@ -107,6 +107,53 @@ def test_zero_arg_closure_step(monkeypatch):
     assert all(np.isfinite(v) for v in losses)
 
 
+def test_gradient_accumulation_matches_full_batch(monkeypatch):
+    """Two micro-batch backward passes inside ONE compiled step (no zero_grad
+    between them) accumulate to the full-batch gradient: the standard
+    grad-accumulation recipe for batches that exceed chip memory.  The tape's
+    ``add_grad`` accumulation is what makes this work under the step
+    compiler."""
+    monkeypatch.setenv("LIGHTGRAD_RECORD", "abstract")
+    x, y = _data(seed=7, n=16)
+    xa, xb = x.narrow(0, 8), x.narrow(8, 8)
+    ya, yb = y.narrow(0, 8), y.narrow(8, 8)
+
+    def build():
+        np.random.seed(11)
+        model = TwoLayer()
+        opt = light.optim.Adam(model.parameters(), lr=1e-2)
+        return model, opt
+
+    # accumulated: mean-of-micro-losses == full-batch mean for equal splits
+    model_a, opt_a = build()
+
+    def step_accum():
+        opt_a.zero_grad()
+        for mx, my in ((xa, ya), (xb, yb)):
+            loss = light.loss.mse(model_a(mx), my) * 0.5
+            loss.backward()
+        opt_a.step()
+        return loss
+
+    # full batch
+    model_f, opt_f = build()
+
+    def step_full():
+        opt_f.zero_grad()
+        loss = light.loss.mse(model_f(x), y)
+        loss.backward()
+        opt_f.step()
+        return loss
+
+    fa, ff = light.jit(step_accum), light.jit(step_full)
+    for _ in range(4):
+        fa(), ff()
+    for (na, pa), (nf, pf) in zip(model_a.named_parameters(),
+                                  model_f.named_parameters()):
+        np.testing.assert_allclose(pa.numpy(), pf.numpy(), rtol=2e-4,
+                                   atol=2e-5, err_msg=na)
+
+
 def test_scaler_growth_inside_jit(monkeypatch):
     """Dynamic loss-scale growth across compiled steps.
 

@@ -75,12 +75,66 @@ def _train_regression(optim_cls, backend, steps=150, **kw):
         (light.optim.SGD, {"lr": 0.5}),
         (light.optim.SGD, {"lr": 0.1, "momentum": 0.9}),
         (light.optim.Adam, {"lr": 0.02}),
+        (light.optim.AdamW, {"lr": 0.02, "weight_decay": 0.01}),
         (light.optim.AdaBelief, {"lr": 0.02}),
     ],
 )
 def test_optimizers_learn(backend, optim_cls, kw):
     losses = _train_regression(optim_cls, backend, **kw)
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_adamw_matches_torch():
+    """Step-for-step parity with torch.optim.AdamW on identical params/grads
+    (decoupled decay, bias correction)."""
+    torch = pytest.importorskip("torch")
+
+    p_np = np.random.uniform(-1, 1, (5, 3)).astype(np.float32)
+    grads = [np.random.uniform(-1, 1, (5, 3)).astype(np.float32) for _ in range(4)]
+
+    pt = torch.nn.Parameter(torch.tensor(p_np))
+    topt = torch.optim.AdamW([pt], lr=0.1, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=0.05)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.AdamW([p], lr=0.1, eps=1e-8, weight_decay=0.05)
+
+    for g in grads:
+        topt.zero_grad()
+        pt.grad = torch.tensor(g)
+        topt.step()
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), pt.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_sgd_weight_decay_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    p_np = np.random.uniform(-1, 1, (4, 4)).astype(np.float32)
+    g_np = np.random.uniform(-1, 1, (4, 4)).astype(np.float32)
+
+    pt = torch.nn.Parameter(torch.tensor(p_np))
+    topt = torch.optim.SGD([pt], lr=0.1, momentum=0.9, weight_decay=0.02)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.SGD([p], lr=0.1, momentum=0.9, weight_decay=0.02)
+
+    for _ in range(3):
+        topt.zero_grad()
+        pt.grad = torch.tensor(g_np)
+        topt.step()
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g_np.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), pt.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_mse_grad_matches_numeric():

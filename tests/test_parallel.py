@@ -39,6 +39,40 @@ def test_shard_module_places_params():
 
 
 @needs_mesh
+def test_checkpoint_resume_preserves_sharding(tmp_path):
+    """Checkpoint load must not collapse sharded params to single-device
+    placement (nn._match_placement): resuming a TP-sharded model keeps each
+    parameter's NamedSharding and its loaded values."""
+    from lightgrad_tpu import checkpoint, models, parallel
+
+    cfg = models.BertConfig(vocab_size=128, hidden_size=32, num_hidden_layers=1,
+                            num_attention_heads=2, intermediate_size=64,
+                            max_position_embeddings=16)
+    np.random.seed(0)
+    model = models.BertForMaskedLM(cfg)
+    mesh = parallel.make_mesh(dp=2, tp=2)
+    parallel.shard_module(model, mesh, parallel.BERT_TP_RULES)
+
+    name = "bert.layer.0.attention.self.query.weight"
+    q = dict(model.named_parameters())[name]
+    want_sharding = q.data.sharding
+    saved = q.numpy().copy()
+
+    path = str(tmp_path / "ck.npz")
+    checkpoint.save_checkpoint(path, model)
+
+    # perturb, then resume
+    q._set_data((q * 0.0).data)
+    checkpoint.load_checkpoint(path, model)
+
+    q2 = dict(model.named_parameters())[name]
+    assert q2 is q  # in-place load keeps tensor identity
+    assert q2.data.sharding == want_sharding, (
+        f"sharding lost on resume: {q2.data.sharding}")
+    np.testing.assert_allclose(q2.numpy(), saved, rtol=0, atol=0)
+
+
+@needs_mesh
 def test_dryrun_multichip():
     import importlib.util
 
