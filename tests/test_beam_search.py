@@ -39,6 +39,7 @@ def _seq_logprob(model, ids, n_prompt):
     return sum(lp[t - 1, ids[t]] for t in range(n_prompt, len(ids)))
 
 
+@pytest.mark.slow  # 16 s: two full decode-loop compiles on the 1-core host
 def test_beam1_equals_greedy():
     model, seq = _trained_gpt()
     prompt = seq[:4].tolist()

@@ -29,7 +29,8 @@ def test_transpose():
 
 
 def test_reshape():
-    cpu_check(lambda x: CpuTensor.reshape(x, -1), shapes=[(45, 65)])
+    # (45,65) was 22 s of O(n^2) finite-difference jacobian; same coverage
+    cpu_check(lambda x: CpuTensor.reshape(x, -1), shapes=[(23, 33)])
 
 
 def test_pad():

@@ -559,6 +559,7 @@ def test_partition_rules_scanned_stack():
     assert partition_rules(GPT_TP_RULES, "wte.weight") == P("tp", None)
 
 
+@pytest.mark.slow  # 26 s: sharded + unsharded scanned-GPT step compiles
 @needs_mesh
 def test_scanned_gpt_tp_training_matches_unsharded():
     """A scan_layers GPT sharded with GPT_TP_RULES over tp=4 trains to the

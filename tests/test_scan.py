@@ -75,7 +75,12 @@ def test_gradients_match_loop():
         np.testing.assert_allclose(ga[n], gb, rtol=5e-4, atol=5e-5, err_msg=n)
 
 
-@pytest.mark.parametrize("remat", [False, True])
+@pytest.mark.parametrize(
+    "remat",
+    [False, pytest.param(True, marks=pytest.mark.slow)],  # remat re-pays the
+    # whole fwd in bwd: ~22 s on the 1-core host; the False variant covers the
+    # scan-vs-loop equivalence in the default run
+)
 def test_jit_training_matches_loop(remat):
     """Compiled (light.jit) training trajectories agree loop vs scan."""
     ref, scanned = _mk_pair(remat=remat)
@@ -131,6 +136,7 @@ def test_kv_cache_decode_with_scan():
     assert out_ref == out_scan
 
 
+@pytest.mark.slow  # 30 s: AMP + scan whole-step compile on the 1-core host
 def test_amp_training_with_scan():
     """Master-weight AMP over a scanned GPT (the bench GPT configuration):
     cast_module rebinds the stacked params; the _stacked view must follow
