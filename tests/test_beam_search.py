@@ -5,6 +5,7 @@ lower-logprob sequence than greedy (with length_penalty=1 and no eos);
 eos_id terminates hypotheses; works for both GPT and Llama."""
 
 import numpy as np
+import pytest
 
 import lightgrad_tpu as light
 from lightgrad_tpu.autograd import TpuTensor
