@@ -400,6 +400,48 @@ class cumsum(Function):
 
 
 # ---------------------------------------------------------------------------
+# int8 quantized linear (serving path; see lightgrad_tpu/quant.py)
+# ---------------------------------------------------------------------------
+@TpuTensor.register_op()
+class quant_linear(Function):
+    """Dynamic-activation int8xint8 linear: ``y = x @ Wq.T * (xs*ws) + b``.
+
+    ``wq`` is an int8 (out, in) matrix with per-output-channel symmetric
+    scales ``wscale`` (out,); activations are quantized per row (per token)
+    at run time to int8, the matmul accumulates in int32 on the MXU
+    (``preferred_element_type`` -- the v5e int8 path peaks at ~2x the bf16
+    TFLOPs), and the float epilogue applies both scales.  Backward is the
+    straight-through estimator through the dequantized weight (QAT-style);
+    ``wq``/``wscale`` receive no gradient.  No reference counterpart
+    (/root/reference has no quantization support).
+    """
+
+    def forward(ctx, x, wq, wscale, bias=None):
+        xd = x.data
+        wqd, wsd = _raw(wq), _raw(wscale)
+        xf = xd.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xs = jnp.maximum(absmax, 1e-8) * (1.0 / 127.0)  # (..., 1)
+        xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            xq, wqd, (((xq.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs * wsd.astype(jnp.float32)
+        if bias is not None:
+            y = y + _raw(bias).astype(jnp.float32)
+        ctx.save_for_backward(wqd, wsd, xd.dtype, bias is not None)
+        return _t(y.astype(xd.dtype))
+
+    def backward(ctx, g):
+        wqd, wsd, xdt, has_bias = ctx.get_saved_tensors()
+        wdeq = wqd.astype(jnp.float32) * wsd.astype(jnp.float32)[:, None]
+        gx = jnp.matmul(g.data.astype(jnp.float32), wdeq)
+        grads = (_t(gx.astype(xdt)), None, None)
+        # bias grad reduces to (out,) via the core's _unbroadcast
+        return grads + (_t(g.data),) if has_bias else grads
+
+
+# ---------------------------------------------------------------------------
 # convolution
 # ---------------------------------------------------------------------------
 @TpuTensor.register_op()

@@ -1,4 +1,4 @@
-"""Optimizers: SGD / Adam / AdaBelief.
+"""Optimizers: SGD / Adam / AdamW / AdaBelief / Lion.
 
 API parity with ``/root/reference/lightgrad/optim.py`` (``compute_delta``
 contract, ``p += delta`` under no_grad).  Re-designed for TPU step fusion:
@@ -11,7 +11,7 @@ SURVEY.md §3.3).
 
 from .autograd import Gradients, AbstractTensor
 
-__all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief"]
+__all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief", "Lion"]
 
 
 class Optimizer:
@@ -159,6 +159,41 @@ class AdaBelief(Adam):
     def _second_moment_update(self, grad, i):
         d = grad - self.m[i]
         return d * d
+
+
+class Lion(Optimizer):
+    """EvoLved Sign Momentum (https://arxiv.org/abs/2302.06675).
+
+    Single-moment sign-based update: ``delta = -lr * sign(b1*m + (1-b1)*g)``
+    then ``m = b2*m + (1-b2)*g``; decoupled weight decay like AdamW.  Half
+    Adam's optimizer memory -- relevant on HBM-bound TPU training.  sign() is
+    composed from the {0,1} comparison ops (``gt``), so the whole step stays
+    a branch-free tensor program capturable by ``lightgrad_tpu.jit``.
+    Validated against ``optax.lion`` (tests/test_nn.py).  No counterpart in
+    the reference (/root/reference/lightgrad/optim.py has SGD/Adam/AdaBelief).
+    """
+
+    def __init__(self, parameters, lr: float = 1e-4, beta1: float = 0.9,
+                 beta2: float = 0.99, weight_decay: float = 0.0):
+        super().__init__(parameters)
+        self.lr, self.b1, self.b2, self.wd = lr, beta1, beta2, weight_decay
+        self.m = [self._zeros_like(p) for p in self.parameters]
+
+    def compute_delta(self, grad, i):
+        m = self.m[i]
+        c = m * self.b1 + grad * (1 - self.b1)
+        sign = c.gt(0.0) - (0.0 - c).gt(0.0)  # {-1, 0, +1}
+        if self._gate is None:
+            m *= self.b2
+            m += grad * (1 - self.b2)
+        else:  # gate==0 -> multiplier 1, zero increment: moment untouched
+            g = self._gate
+            m *= self.b2 * g + (1.0 - g)
+            m += grad * ((1 - self.b2) * g)
+        d = sign * (-self.lr)
+        if self.wd:
+            d = d + self.parameters[i] * (-self.lr * self.wd)
+        return d
 
 
 @Gradients.no_grad()

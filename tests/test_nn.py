@@ -77,11 +77,40 @@ def _train_regression(optim_cls, backend, steps=150, **kw):
         (light.optim.Adam, {"lr": 0.02}),
         (light.optim.AdamW, {"lr": 0.02, "weight_decay": 0.01}),
         (light.optim.AdaBelief, {"lr": 0.02}),
+        (light.optim.Lion, {"lr": 0.005, "weight_decay": 0.01}),
     ],
 )
 def test_optimizers_learn(backend, optim_cls, kw):
     losses = _train_regression(optim_cls, backend, **kw)
     assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_lion_matches_optax():
+    """Step-for-step parity with optax.lion on identical params/grads
+    (sign of the b1-interpolation, post-update b2 moment, decoupled decay)."""
+    optax = pytest.importorskip("optax")
+    import jax.numpy as jnp
+
+    p_np = np.random.uniform(-1, 1, (5, 3)).astype(np.float32)
+    grads = [np.random.uniform(-1, 1, (5, 3)).astype(np.float32) for _ in range(4)]
+
+    tx = optax.lion(learning_rate=0.1, b1=0.9, b2=0.99, weight_decay=0.05)
+    ref_p = jnp.asarray(p_np)
+    state = tx.init(ref_p)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.Lion([p], lr=0.1, beta1=0.9, beta2=0.99, weight_decay=0.05)
+
+    for g in grads:
+        upd, state = tx.update(jnp.asarray(g), state, ref_p)
+        ref_p = optax.apply_updates(ref_p, upd)
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), np.asarray(ref_p),
+                                   rtol=2e-5, atol=2e-6)
 
 
 def test_adamw_matches_torch():
