@@ -27,4 +27,10 @@ empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones
 uniform, xavier = Tensor.uniform, Tensor.xavier
 from_numpy = Tensor.from_numpy
 
+
+def einsum(spec: str, *operands):
+    """``light.einsum("ab,bc->ac", a, b)`` -- differentiable contraction
+    (method form: ``a.einsum(spec, b)``; grammar in autograd/einsum_spec.py)."""
+    return operands[0].einsum(spec, *operands[1:])
+
 __version__ = "0.1.0"

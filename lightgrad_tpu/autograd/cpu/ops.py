@@ -10,6 +10,7 @@ import numpy as np
 
 from ..tensor import AbstractTensor
 from ..function import Function
+from ..einsum_spec import parse_spec as parse_einsum_spec, bwd_plan as einsum_bwd_plan
 from .tensor import CpuTensor
 
 
@@ -315,6 +316,34 @@ class dot(Function):
         ga = np.matmul(go, np.swapaxes(y, -1, -2))
         gb = np.matmul(np.swapaxes(x, -1, -2), go)
         return _t(ga), _t(gb)
+
+
+@CpuTensor.register_op()
+class einsum(Function):
+    """General tensor contraction (numpy oracle twin of the TPU op)."""
+
+    def forward(ctx, a, spec: str, *rest):
+        datas = (a.data,) + tuple(o.data for o in rest)
+        terms, out = parse_einsum_spec(spec, len(datas))
+        ctx.save_for_backward(spec, terms, out, datas)
+        return _t(np.einsum(spec, *datas))
+
+    def backward(ctx, g):
+        spec, terms, out, datas = ctx.get_saved_tensors()
+        grads = []
+        for i, parent in enumerate(ctx.parents):
+            if not parent.requires_grad:
+                grads.append(None)
+                continue
+            sub, kept, term = einsum_bwd_plan(terms, out, i)
+            others = [d for j, d in enumerate(datas) if j != i]
+            gi = np.einsum(sub, g.data, *others)
+            for pos, c in enumerate(term):  # re-insert forward-summed axes
+                if c not in kept:
+                    gi = np.expand_dims(gi, pos)
+            gi = np.broadcast_to(gi, datas[i].shape)
+            grads.append(_t(gi.astype(datas[i].dtype)))
+        return tuple(grads)
 
 
 # ---------------------------------------------------------------------------

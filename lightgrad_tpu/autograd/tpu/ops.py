@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from ..tensor import AbstractTensor
 from ..function import Function
+from ..einsum_spec import parse_spec as parse_einsum_spec, bwd_plan as einsum_bwd_plan
 from .tensor import TpuTensor, _note
 from ...ops.elementwise import ew
 from ...ops.matmul import matmul as kmatmul
@@ -325,6 +326,39 @@ class dot(Function):
         ga = kmatmul(g.data, jnp.swapaxes(braw, -1, -2))
         gb = kmatmul(jnp.swapaxes(araw, -1, -2), g.data)
         return _t(ga), _t(gb)
+
+
+@TpuTensor.register_op()
+class einsum(Function):
+    """General tensor contraction: ``a.einsum("ab,bc->ac", b)``.
+
+    Forward is one ``jnp.einsum`` (XLA lowers it to MXU dot_generals);
+    backward is one einsum per differentiable operand, planned by
+    ``autograd/einsum_spec.py``.  See that module for the supported grammar.
+    """
+
+    def forward(ctx, a, spec: str, *rest):
+        datas = (a.data,) + tuple(o.data for o in rest)
+        terms, out = parse_einsum_spec(spec, len(datas))
+        ctx.save_for_backward(spec, terms, out, datas)
+        return _t(jnp.einsum(spec, *datas))
+
+    def backward(ctx, g):
+        spec, terms, out, datas = ctx.get_saved_tensors()
+        grads = []
+        for i, parent in enumerate(ctx.parents):
+            if not parent.requires_grad:
+                grads.append(None)
+                continue
+            sub, kept, term = einsum_bwd_plan(terms, out, i)
+            others = [d for j, d in enumerate(datas) if j != i]
+            gi = jnp.einsum(sub, g.data, *others)
+            for pos, c in enumerate(term):  # re-insert forward-summed axes
+                if c not in kept:
+                    gi = jnp.expand_dims(gi, pos)
+            gi = jnp.broadcast_to(gi, datas[i].shape)
+            grads.append(_t(gi.astype(datas[i].dtype)))
+        return tuple(grads)
 
 
 # ---------------------------------------------------------------------------
