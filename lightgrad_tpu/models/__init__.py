@@ -3,3 +3,4 @@ from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
 from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
 from .decoding import beam_search
 from .resnet import ResNet, BasicBlock, resnet20, resnet18
+from .vit import ViTConfig, ViTModel, ViTForImageClassification
