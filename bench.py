@@ -313,6 +313,28 @@ def bench_attention_long(iters=10, bh=96, s=2048, d=64, dtype=None):
         (q, k, v), flops, iters)
 
 
+def bench_quant_linear(m=4096, k=4096, n=4096, iters=30, repeats=5):
+    """int8 serving GEMM: dynamic-activation QuantLinear vs the bf16 linear.
+
+    The v5e int8 MXU path peaks at ~2x the bf16 TFLOPs and halves weight HBM
+    traffic; this measures the achieved end-to-end ratio through the fused
+    quant_linear op (quantize + int32-accumulate + float epilogue)."""
+    import jax.numpy as jnp
+
+    np.random.seed(2)
+    lin = nn.Linear(k, n, bias=False)
+    x = light.uniform(-1, 1, (m, k)).astype(jnp.bfloat16).detach()
+    light.amp.cast_module(lin, jnp.bfloat16)
+    q = light.quant.QuantLinear.from_linear(lin)
+
+    flops = 2 * m * k * n
+    fn_f = light.jit(lambda: lin(x))
+    dt_f, vals_f = time_median(lambda: fn_f().data, iters=iters, repeats=repeats)
+    fn_q = light.jit(lambda: q(x))
+    dt_q, vals_q = time_median(lambda: fn_q().data, iters=iters, repeats=repeats)
+    return dt_f, vals_f, dt_q, vals_q, flops
+
+
 def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
     """End-to-end GPT-2-small-class training step under master-weight AMP
     (bf16 compute, f32 masters): the production configuration.  Reports
@@ -530,6 +552,19 @@ def main():
     details["flash_attention_bf16_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
     err(f"flash attention bf16 fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
         f"(mfu {details['flash_attention_bf16_s2048_mfu']})")
+    checkpoint_results()
+
+    if _over_budget("int8 serving GEMM stage", est_s=120):
+        return
+    dt_f, vals_f, dt_q, vals_q, flops = bench_quant_linear()
+    details["quant_linear_bf16_4096_s"] = round(dt_f, 6)
+    details["quant_linear_int8_4096_s"] = round(dt_q, 6)
+    details["quant_linear_int8_runs"] = vals_q
+    details["quant_linear_int8_speedup"] = round(dt_f / dt_q, 3)
+    details["quant_linear_int8_tflops"] = round(flops / dt_q / 1e12, 2)
+    err(f"int8 QuantLinear 4096^3: {dt_q*1e3:.3f}ms vs bf16 {dt_f*1e3:.3f}ms "
+        f"({details['quant_linear_int8_speedup']}x, "
+        f"{details['quant_linear_int8_tflops']} TF/s int8)")
     checkpoint_results()
 
     # GPT-2 last: the most expensive stage (whole-model compile when the
