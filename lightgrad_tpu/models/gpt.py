@@ -58,7 +58,9 @@ def _sample(logits: np.ndarray, temperature: float, rng,
 class GPTConfig:
     def __init__(self, vocab_size=50257, n_positions=1024, n_embd=768,
                  n_layer=12, n_head=12, layer_norm_epsilon=1e-5,
-                 scan_layers=False, remat=False, **unused):
+                 scan_layers=False, remat=False, n_experts=0, moe_every=1,
+                 moe_k=2, moe_dispatch="topk", moe_hidden=None,
+                 moe_capacity_factor=1.25, **unused):
         self.vocab_size = vocab_size
         self.n_positions = n_positions
         self.n_embd = n_embd
@@ -72,6 +74,23 @@ class GPTConfig:
         # forward of compute)
         self.scan_layers = scan_layers
         self.remat = remat
+        # Mixture-of-experts variant (Switch/Mixtral-style; framework
+        # extension -- the reference has no MoE).  ``n_experts > 0`` replaces
+        # the dense FFN of every ``moe_every``-th block with an nn.MoE of
+        # ``n_experts`` experts (Mixtral: every block; Switch: every other,
+        # ``moe_every=2``).  Expert weights are stacked ``(E, d, h)`` so they
+        # shard over an ``ep`` mesh axis (parallel.GPT_MOE_RULES).
+        self.n_experts = n_experts
+        self.moe_every = moe_every
+        self.moe_k = moe_k
+        self.moe_dispatch = moe_dispatch
+        self.moe_hidden = moe_hidden if moe_hidden is not None else 4 * n_embd
+        self.moe_capacity_factor = moe_capacity_factor
+        if n_experts and scan_layers:
+            raise ValueError(
+                "scan_layers requires a homogeneous block stack; MoE blocks "
+                "carry per-forward aux_loss state the scan cannot thread -- "
+                "use scan_layers=False with n_experts")
 
 
 class CausalSelfAttention(nn.Module):
@@ -110,16 +129,25 @@ class CausalSelfAttention(nn.Module):
 
 
 class GPTBlock(nn.Module):
-    def __init__(self, cfg: GPTConfig):
+    def __init__(self, cfg: GPTConfig, use_moe: bool = False):
         super().__init__()
         self.ln_1 = nn.LayerNorm(cfg.n_embd, eps=cfg.layer_norm_epsilon)
         self.attn = CausalSelfAttention(cfg)
         self.ln_2 = nn.LayerNorm(cfg.n_embd, eps=cfg.layer_norm_epsilon)
-        self.c_fc = nn.Linear(cfg.n_embd, 4 * cfg.n_embd)
-        self.c_proj = nn.Linear(4 * cfg.n_embd, cfg.n_embd)
+        if use_moe:
+            # sparse FFN: router + stacked expert weights (nn.MoE); the
+            # residual connection carries capacity-dropped tokens
+            self.moe = nn.MoE(cfg.n_embd, cfg.moe_hidden, cfg.n_experts,
+                              dispatch=cfg.moe_dispatch, k=cfg.moe_k,
+                              capacity_factor=cfg.moe_capacity_factor)
+        else:
+            self.c_fc = nn.Linear(cfg.n_embd, 4 * cfg.n_embd)
+            self.c_proj = nn.Linear(4 * cfg.n_embd, cfg.n_embd)
 
     def forward(self, x):
         x = x + self.attn(self.ln_1(x))
+        if hasattr(self, "moe"):
+            return x + self.moe(self.ln_2(x))
         return x + self.c_proj(self.c_fc(self.ln_2(x)).gelu())
 
 
@@ -131,7 +159,10 @@ class GPT(nn.Module):
         self.cfg = cfg
         self.wte = nn.Embedding(cfg.vocab_size, cfg.n_embd)
         self.wpe = nn.Embedding(cfg.n_positions, cfg.n_embd)
-        blocks = [GPTBlock(cfg) for _ in range(cfg.n_layer)]
+        every = max(1, getattr(cfg, "moe_every", 1))
+        blocks = [GPTBlock(cfg, use_moe=(cfg.n_experts > 0
+                                         and i % every == every - 1))
+                  for i in range(cfg.n_layer)]
         if getattr(cfg, "scan_layers", False):
             from lightgrad_tpu.scan import ScannedStack
 
@@ -149,6 +180,16 @@ class GPT(nn.Module):
                 x = block(x)
         else:
             x = self.h(x)  # ScannedStack: one lax.scan over stacked layers
+        # router load-balancing losses (set per-forward by nn.MoE topk/top1
+        # dispatch): summed over MoE blocks; a plain attribute, never a
+        # parameter.  Add ``model.aux_loss * weight`` to the training loss.
+        aux = None
+        if isinstance(self.h, nn.ModuleList):
+            for block in self.h:
+                a = getattr(getattr(block, "moe", None), "aux_loss", None)
+                if a is not None:
+                    aux = a if aux is None else aux + a
+        object.__setattr__(self, "aux_loss", aux)
         x = self.ln_f(x)
         # weight-tied LM head: logits = x @ wte^T
         return x @ self.wte.weight.T(1, 0)

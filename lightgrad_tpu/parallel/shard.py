@@ -19,7 +19,7 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
-           "GPT_TP_RULES", "LLAMA_TP_RULES", "MOE_EP_RULES",
+           "GPT_TP_RULES", "LLAMA_TP_RULES", "MOE_EP_RULES", "GPT_MOE_RULES",
            "enable_sequence_parallel"]
 
 
@@ -112,3 +112,12 @@ MOE_EP_RULES = [
     (r"(^|\.)w1$", P("ep", None, None)),
     (r"(^|\.)w2$", P("ep", None, None)),
 ]
+
+# GPT-MoE (models/gpt.py, GPTConfig(n_experts>0)): expert stacks over 'ep',
+# router replicated (it is tiny and every token needs it), dense-block and
+# attention projections per the usual Megatron TP split.  ep and tp can be
+# the same mesh axis (pure EP: tp=1) or orthogonal axes.
+GPT_MOE_RULES = [
+    (r"moe\.(w1|w2)$", P("ep", None, None)),
+    (r"moe\.router\.weight$", P()),
+] + GPT_TP_RULES

@@ -1,0 +1,143 @@
+"""GPT-MoE model family: sparse-FFN blocks inside the GPT stack.
+
+Framework extension (no reference counterpart): GPTConfig(n_experts>0)
+replaces the dense FFN of every ``moe_every``-th block with an nn.MoE
+(Switch/Mixtral-style top-k routing), the model sums the router
+load-balancing losses into ``model.aux_loss``, and the stacked expert
+weights shard over an ``ep`` mesh axis via parallel.GPT_MOE_RULES.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+import lightgrad_tpu as light
+import lightgrad_tpu.nn as nn
+from lightgrad_tpu.autograd import TpuTensor
+from lightgrad_tpu.models import GPT, GPTConfig
+
+needs_mesh = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device mesh"
+)
+
+
+def tiny_cfg(**kw):
+    base = dict(vocab_size=64, n_positions=16, n_embd=16, n_layer=2,
+                n_head=2, n_experts=4, moe_k=2, moe_hidden=32)
+    base.update(kw)
+    return GPTConfig(**base)
+
+
+def ids(b, s, vocab=64, seed=0):
+    rng = np.random.default_rng(seed)
+    return TpuTensor.from_numpy(
+        rng.integers(0, vocab, (b, s)).astype(np.int32), requires_grad=False)
+
+
+def test_moe_block_structure():
+    """moe_every picks which blocks are sparse; params are registered."""
+    m = GPT(tiny_cfg(n_layer=4, moe_every=2))
+    names = dict(m.named_parameters())
+    # blocks 1 and 3 are MoE (every 2nd), 0 and 2 dense
+    assert "h.1.moe.w1" in names and "h.3.moe.w2" in names
+    assert "h.0.c_fc.weight" in names and "h.2.c_proj.weight" in names
+    assert "h.1.c_fc.weight" not in names
+    assert names["h.1.moe.w1"].shape == (4, 16, 32)
+    # aux_loss is per-forward state, never saved
+    assert not any("aux_loss" in k for k in m.state_dict())
+
+
+def test_moe_forward_and_aux_loss():
+    np.random.seed(1)
+    m = GPT(tiny_cfg())
+    logits = m(ids(2, 8))
+    assert logits.shape == (2, 8, 64)
+    assert np.isfinite(logits.numpy()).all()
+    # both blocks are MoE (moe_every=1): aux_loss is their summed scalar
+    assert m.aux_loss is not None and m.aux_loss.shape == ()
+    # perfectly balanced top-1 routing gives E * sum_e (1/E * 1/E) = 1 per
+    # block; real routing is >= that only in expectation -- just check range
+    assert 0.0 < m.aux_loss.item() < 4 * m.cfg.n_experts
+
+
+def test_dense_gpt_has_no_aux_loss():
+    np.random.seed(2)
+    m = GPT(GPTConfig(vocab_size=64, n_positions=16, n_embd=16, n_layer=1,
+                      n_head=2))
+    m(ids(1, 4))
+    assert m.aux_loss is None
+
+
+def test_moe_scan_layers_rejected():
+    with pytest.raises(ValueError):
+        tiny_cfg(scan_layers=True)
+
+
+def test_moe_gpt_trains():
+    """Loss (incl. aux) decreases; expert weights receive gradients."""
+    np.random.seed(3)
+    m = GPT(tiny_cfg())
+    x = ids(4, 8, seed=3)
+    # next-token targets: shifted copy of the inputs
+    tgt = np.roll(x.numpy(), -1, axis=1).reshape(-1)
+    tgt_t = TpuTensor.from_numpy(tgt.astype(np.int32), requires_grad=False)
+    opt = light.optim.Adam(m.parameters(), lr=1e-2)
+    losses = []
+    for _ in range(15):
+        logits = m(x).reshape(-1, 64)
+        loss = light.loss.cross_entropy(logits, tgt_t) + m.aux_loss * 0.01
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(loss.item())
+    assert losses[-1] < losses[0], losses[::5]
+    w1 = dict(m.named_parameters())["h.0.moe.w1"]
+    assert w1.grad is not None and np.abs(w1.grad.numpy()).max() > 0
+
+
+@needs_mesh
+def test_moe_gpt_expert_parallel_rules():
+    from jax.sharding import PartitionSpec as P
+    from lightgrad_tpu.parallel import partition_rules, GPT_MOE_RULES
+
+    assert partition_rules(GPT_MOE_RULES, "h.1.moe.w1") == P("ep", None, None)
+    assert partition_rules(GPT_MOE_RULES, "h.1.moe.router.weight") == P()
+    assert partition_rules(GPT_MOE_RULES, "h.0.c_fc.weight") == P("tp", None)
+    assert partition_rules(GPT_MOE_RULES, "h.0.attn.c_proj.weight") == P(None, "tp")
+    assert partition_rules(GPT_MOE_RULES, "wte.weight") == P("tp", None)
+
+
+@needs_mesh
+def test_moe_gpt_ep_sharded_train_step():
+    """dp x ep sharded GPT-MoE: one jit step executes and updates params."""
+    from lightgrad_tpu.parallel import make_mesh, shard_module, GPT_MOE_RULES
+
+    np.random.seed(4)
+    m = GPT(tiny_cfg())
+    mesh = make_mesh(dp=2, ep=4)
+    shard_module(m, mesh, GPT_MOE_RULES)
+    w1 = dict(m.named_parameters())["h.0.moe.w1"]
+    # (E=4, d, h) over ep=4: one expert per ep slice
+    assert {s.data.shape for s in w1.data.addressable_shards} == {(1, 16, 32)}
+
+    x = ids(4, 8, seed=4)
+    tgt = np.roll(x.numpy(), -1, axis=1).reshape(-1)
+    tgt_t = TpuTensor.from_numpy(tgt.astype(np.int32), requires_grad=False)
+    opt = light.optim.Adam(m.parameters(), lr=1e-2)
+
+    def step():
+        logits = m(x).reshape(-1, 64)
+        loss = light.loss.cross_entropy(logits, tgt_t) + m.aux_loss * 0.01
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss
+
+    fn = light.jit(step)
+    first = fn().item()
+    for _ in range(9):
+        last = fn().item()
+    assert np.isfinite(last) and last < first
+    # params kept their ep sharding through the compiled steps
+    assert {s.data.shape for s in w1.data.addressable_shards} == {(1, 16, 32)}
