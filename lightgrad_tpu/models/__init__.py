@@ -4,3 +4,4 @@ from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
 from .decoding import beam_search
 from .resnet import ResNet, BasicBlock, resnet20, resnet18
 from .vit import ViTConfig, ViTModel, ViTForImageClassification
+from .t5 import T5Config, T5ForConditionalGeneration
