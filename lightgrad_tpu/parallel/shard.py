@@ -19,7 +19,8 @@ import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
-           "GPT_TP_RULES", "LLAMA_TP_RULES", "MOE_EP_RULES", "GPT_MOE_RULES",
+           "GPT_TP_RULES", "LLAMA_TP_RULES", "T5_TP_RULES", "MOE_EP_RULES",
+           "GPT_MOE_RULES",
            "enable_sequence_parallel"]
 
 
@@ -111,6 +112,18 @@ def shard_module(module, mesh, rules=BERT_TP_RULES, verbose: bool = False):
 MOE_EP_RULES = [
     (r"(^|\.)w1$", P("ep", None, None)),
     (r"(^|\.)w2$", P("ep", None, None)),
+]
+
+# T5 (models/t5.py): q/k/v and the FFN up-projections (wi / gated wi_0+wi_1)
+# row-parallel, attention output and FFN down column-parallel; the shared
+# embedding shards over the vocabulary; the relative-position bias table
+# shards its per-head axis with the heads.
+T5_TP_RULES = [
+    (r"\.(q|k|v)\.weight$", P("tp", None)),
+    (r"\.(wi|wi_0|wi_1)\.weight$", P("tp", None)),
+    (r"\.(o|wo)\.weight$", P(None, "tp")),
+    (r"relative_attention_bias\.weight$", P(None, "tp")),
+    (r"^shared\.weight$", P("tp", None)),
 ]
 
 # GPT-MoE (models/gpt.py, GPTConfig(n_experts>0)): expert stacks over 'ep',

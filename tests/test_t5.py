@@ -200,3 +200,56 @@ def test_t5_hf_export_roundtrip():
                 decoder_input_ids=torch.tensor(tgt.astype(np.int64))
                 ).logits.numpy()
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_t5_tensor_parallel_train_step():
+    """dp x tp sharded T5 train step executes and reduces the loss."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    from lightgrad_tpu.parallel import make_mesh, shard_module, T5_TP_RULES
+    from jax.sharding import PartitionSpec as P
+    from lightgrad_tpu.parallel import partition_rules
+
+    assert partition_rules(
+        T5_TP_RULES,
+        "encoder.block.0.layer.0.SelfAttention.q.weight") == P("tp", None)
+    assert partition_rules(
+        T5_TP_RULES,
+        "decoder.block.0.layer.1.EncDecAttention.o.weight") == P(None, "tp")
+    assert partition_rules(
+        T5_TP_RULES, "encoder.block.0.layer.1.DenseReluDense.wo.weight"
+    ) == P(None, "tp")
+    assert partition_rules(T5_TP_RULES, "shared.weight") == P("tp", None)
+    assert partition_rules(
+        T5_TP_RULES, "encoder.block.0.layer.0.layer_norm.weight") == P()
+
+    np.random.seed(2)
+    cfg = T5Config(vocab_size=32, d_model=16, d_kv=4, d_ff=32, num_layers=1,
+                   num_decoder_layers=1, num_heads=4,
+                   relative_attention_num_buckets=8,
+                   relative_attention_max_distance=10, dropout_rate=0.0)
+    model = T5ForConditionalGeneration(cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    shard_module(model, mesh, T5_TP_RULES)
+
+    rng = np.random.default_rng(9)
+    src = rng.integers(2, 32, (4, 6)).astype(np.int32)
+    labels = src.copy()
+    x = TpuTensor.from_numpy(src, requires_grad=False)
+    d = TpuTensor.from_numpy(model.shift_right(labels), requires_grad=False)
+    y = TpuTensor.from_numpy(labels.reshape(-1), requires_grad=False)
+    opt = light.optim.Adam(model.parameters(), lr=5e-3)
+
+    def step():
+        loss = light.loss.cross_entropy(model(x, d).reshape(-1, 32), y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss
+
+    fn = light.jit(step)
+    first = fn().item()
+    for _ in range(9):
+        last = fn().item()
+    assert np.isfinite(last) and last < first
