@@ -141,6 +141,57 @@ class T5Attention(nn.Module):
     def _split(self, x, b, s):
         return x.reshape(b, s, self.n_heads, self.d_kv).transpose(0, 2, 1, 3)
 
+    def step_bias(self, klen: int):
+        """(1, heads, 1, klen) bias for the NEWEST query position (KV-cached
+        decode: query index = klen-1, keys 0..klen-1)."""
+        rel = np.arange(klen)[None, :] - (klen - 1)
+        buckets = _relative_position_bucket(
+            rel, bidirectional=not self.causal,
+            num_buckets=self.num_buckets, max_distance=self.max_distance)
+        ids = Tensor.from_numpy(buckets, requires_grad=False)  # (1, klen)
+        emb = self.relative_attention_bias(ids)                # (1, klen, h)
+        return emb.transpose(2, 0, 1).reshape(1, self.n_heads, 1, klen)
+
+    def decode_self(self, x, past, position_bias):
+        """One-token causal self-attention against the (k, v) cache.
+
+        ``x`` is (b, 1, d); ``past`` is None or (k, v) each
+        (b, heads, t, d_kv).  No causal mask needed: the cache holds only
+        past-and-current positions.  Returns (out, (k, v)) with the new
+        token appended."""
+        b = x.shape[0]
+        q = self._split(self.q(x), b, 1)
+        k_new = self._split(self.k(x), b, 1)
+        v_new = self._split(self.v(x), b, 1)
+        k = k_new if past is None else past[0].concat(k_new, axis=2)
+        v = v_new if past is None else past[1].concat(v_new, axis=2)
+        scores = q @ k.transpose(0, 1, 3, 2)         # (b, h, 1, t+1)
+        if position_bias is not None:
+            scores = scores + (position_bias.astype(scores.dtype)
+                               if position_bias.dtype != scores.dtype
+                               else position_bias)
+        ctx = scores.softmax(axis=-1) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, self.n_heads * self.d_kv)
+        return self.o(ctx), (k, v)
+
+    def cross_kv(self, enc):
+        """Precompute the encoder-side (k, v) once per generation."""
+        b, sk, _ = enc.shape
+        return self._split(self.k(enc), b, sk), self._split(self.v(enc), b, sk)
+
+    def decode_cross(self, x, kv, mask=None):
+        """One-token cross-attention against precomputed encoder (k, v)."""
+        b = x.shape[0]
+        q = self._split(self.q(x), b, 1)
+        k, v = kv
+        scores = q @ k.transpose(0, 1, 3, 2)
+        if mask is not None:
+            scores = scores + (mask.astype(scores.dtype)
+                               if mask.dtype != scores.dtype else mask)
+        ctx = scores.softmax(axis=-1) @ v
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, 1, self.n_heads * self.d_kv)
+        return self.o(ctx)
+
     def forward(self, x, kv=None, position_bias=None, mask=None):
         """Returns (context, position_bias) -- the bias is computed by the
         stack's first layer and threaded through the rest (HF contract)."""
@@ -248,6 +299,17 @@ class T5Block(nn.Module):
             x = self.layer[1](x, enc, mask=enc_mask)
         return self.layer[-1](x), pb
 
+    def decode(self, x, past, cross_kv, position_bias, enc_mask=None):
+        """One-token decoder step against this block's KV caches."""
+        sa = self.layer[0]
+        att, present = sa.SelfAttention.decode_self(
+            sa.layer_norm(x), past, position_bias)
+        x = x + sa.dropout(att)
+        ca = self.layer[1]
+        x = x + ca.dropout(ca.EncDecAttention.decode_cross(
+            ca.layer_norm(x), cross_kv, mask=enc_mask))
+        return self.layer[-1](x), present
+
 
 class T5Stack(nn.Module):
     def __init__(self, cfg, shared, is_decoder: bool):
@@ -305,11 +367,8 @@ class T5ForConditionalGeneration(nn.Module):
         enc = (encoder_outputs if encoder_outputs is not None
                else self.encoder(input_ids, mask=enc_mask))
         dec = self.decoder(decoder_input_ids, enc=enc, enc_mask=enc_mask)
-        if self.cfg.tie_word_embeddings:
-            # HF rescales the decoder output before the shared-matrix head
-            dec = dec * (self.cfg.d_model ** -0.5)
-            return dec @ self.shared.weight.T(1, 0)
-        return self.lm_head(dec)
+        # tied head: HF rescales decoder output by d_model**-0.5 first
+        return self._lm_logits(dec)
 
     def shift_right(self, labels: np.ndarray) -> np.ndarray:
         """Teacher-forcing decoder inputs: labels shifted right, start token
@@ -318,41 +377,85 @@ class T5ForConditionalGeneration(nn.Module):
         out[:, 1:] = labels[:, :-1]
         return np.where(out == -100, self.cfg.pad_token_id, out)
 
+    def _lm_logits(self, dec):
+        if self.cfg.tie_word_embeddings:
+            dec = dec * (self.cfg.d_model ** -0.5)
+            return dec @ self.shared.weight.T(1, 0)
+        return self.lm_head(dec)
+
+    def _decode_step(self, tok, pasts, cross_kvs, enc_mask):
+        """One cached decoder step: (b, 1) token ids -> ((b, vocab) logits,
+        updated self-attention caches)."""
+        x = self.decoder.dropout(self.decoder.embed_tokens(tok))
+        klen = 1 if pasts[0] is None else pasts[0][0].shape[2] + 1
+        pb = self.decoder.block[0].layer[0].SelfAttention.step_bias(klen)
+        presents = []
+        for block, past, cross in zip(self.decoder.block, pasts, cross_kvs):
+            x, present = block.decode(x, past, cross, pb, enc_mask=enc_mask)
+            presents.append(present)
+        x = self.decoder.dropout(self.decoder.final_layer_norm(x))
+        return self._lm_logits(x), presents
+
     def generate(self, input_ids, max_new_tokens: int = 20,
                  attention_mask=None, temperature: float = 0.0,
-                 rng: np.random.Generator = None):
-        """Greedy (or temperature-sampled) decoding.  The encoder runs once;
-        the decoder re-runs over the grown prefix each step (eager path --
-        fine for tests/small models; use the GPT family's compiled KV-cache
-        decode pattern for production serving)."""
+                 rng: np.random.Generator = None, use_cache: bool = True):
+        """Greedy (or temperature-sampled) decoding.  The encoder runs once.
+
+        ``use_cache=True`` (default) decodes incrementally: per-block
+        self-attention K/V caches grow by one position per step and the
+        cross-attention K/V are projected from the encoder output once --
+        O(n) attention work per new token.  ``use_cache=False`` re-runs the
+        decoder over the grown prefix each step (the oracle path; the
+        equivalence of the two is tested)."""
         from lightgrad_tpu import no_grad
 
         T = type(input_ids) if not isinstance(input_ids, np.ndarray) else None
-        ids_np = input_ids if T is None else input_ids.numpy()
+        ids_np = input_ids.numpy() if T is not None else input_ids
         tensor_cls = T or Tensor
+        x_ids = (input_ids if T is not None else
+                 tensor_cls.from_numpy(ids_np.astype(np.int32),
+                                       requires_grad=False))
+        b = ids_np.shape[0]
+
+        def pick(last):
+            if temperature > 0.0:
+                r = rng or np.random.default_rng()
+                p = np.exp((last - last.max(-1, keepdims=True)) / temperature)
+                p /= p.sum(-1, keepdims=True)
+                return np.array([r.choice(len(q), p=q) for q in p])
+            return last.argmax(-1)
+
         with no_grad():
-            enc = self.encode(
-                tensor_cls.from_numpy(ids_np.astype(np.int32),
-                                      requires_grad=False)
-                if T is None else input_ids,
-                attention_mask=attention_mask)
-            out = np.full((ids_np.shape[0], 1),
-                          self.cfg.decoder_start_token_id, np.int32)
-            finished = np.zeros((ids_np.shape[0],), bool)
+            enc = self.encode(x_ids, attention_mask=attention_mask)
+            enc_mask = (self._pad_mask(attention_mask)
+                        if attention_mask is not None else None)
+            out = np.full((b, 1), self.cfg.decoder_start_token_id, np.int32)
+            finished = np.zeros((b,), bool)
+
+            if use_cache:
+                cross_kvs = [blk.layer[1].EncDecAttention.cross_kv(enc)
+                             for blk in self.decoder.block]
+                pasts = [None] * len(self.decoder.block)
+                for _ in range(max_new_tokens):
+                    tok = tensor_cls.from_numpy(out[:, -1:],
+                                                requires_grad=False)
+                    logits, pasts = self._decode_step(tok, pasts, cross_kvs,
+                                                      enc_mask)
+                    nxt = pick(logits.numpy()[:, -1])
+                    nxt = np.where(finished, self.cfg.pad_token_id, nxt)
+                    out = np.concatenate(
+                        [out, nxt[:, None].astype(np.int32)], 1)
+                    finished |= nxt == self.cfg.eos_token_id
+                    if finished.all():
+                        break
+                return out[:, 1:]
+
             for _ in range(max_new_tokens):
                 dec_in = tensor_cls.from_numpy(out, requires_grad=False)
                 logits = self.forward(None, dec_in,
                                       attention_mask=attention_mask,
                                       encoder_outputs=enc)
-                last = logits.numpy()[:, -1]
-                if temperature > 0.0:
-                    rng = rng or np.random.default_rng()
-                    p = np.exp((last - last.max(-1, keepdims=True))
-                               / temperature)
-                    p /= p.sum(-1, keepdims=True)
-                    nxt = np.array([rng.choice(len(q), p=q) for q in p])
-                else:
-                    nxt = last.argmax(-1)
+                nxt = pick(logits.numpy()[:, -1])
                 nxt = np.where(finished, self.cfg.pad_token_id, nxt)
                 out = np.concatenate([out, nxt[:, None].astype(np.int32)], 1)
                 finished |= nxt == self.cfg.eos_token_id

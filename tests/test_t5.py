@@ -253,3 +253,33 @@ def test_t5_tensor_parallel_train_step():
     for _ in range(9):
         last = fn().item()
     assert np.isfinite(last) and last < first
+
+
+def test_t5_kv_cache_decode_matches_full_rerun():
+    """use_cache=True (incremental KV decode) equals the full-rerun oracle,
+    greedy and sampled (same rng seed)."""
+    hf_model, hf_cfg = _small_hf_model()
+    model, cfg = _ours_from_hf(hf_model, hf_cfg)
+
+    rng = np.random.default_rng(11)
+    src = _ids(rng, 3, 9)
+    x = TpuTensor.from_numpy(src, requires_grad=False)
+    am = np.ones_like(src)
+    am[:, 7:] = 0
+    amt = TpuTensor.from_numpy(am.astype(np.int32), requires_grad=False)
+
+    fast = model.generate(x, max_new_tokens=7, use_cache=True)
+    slow = model.generate(x, max_new_tokens=7, use_cache=False)
+    np.testing.assert_array_equal(fast, slow)
+
+    fast_m = model.generate(x, max_new_tokens=5, attention_mask=amt,
+                            use_cache=True)
+    slow_m = model.generate(x, max_new_tokens=5, attention_mask=amt,
+                            use_cache=False)
+    np.testing.assert_array_equal(fast_m, slow_m)
+
+    s1 = model.generate(x, max_new_tokens=5, temperature=0.8,
+                        rng=np.random.default_rng(0), use_cache=True)
+    s2 = model.generate(x, max_new_tokens=5, temperature=0.8,
+                        rng=np.random.default_rng(0), use_cache=False)
+    np.testing.assert_array_equal(s1, s2)
