@@ -12,8 +12,9 @@ import numpy as np
 
 from .autograd import Tensor, AbstractTensor
 
-__all__ = ["Module", "ModuleList", "Linear", "Conv2d", "ConvTranspose2d",
-           "BatchNorm2d", "LayerNorm", "Embedding", "Dropout", "MoE"]
+__all__ = ["Module", "ModuleList", "Sequential", "Linear", "Conv2d",
+           "ConvTranspose2d", "BatchNorm2d", "LayerNorm", "Embedding",
+           "Dropout", "MoE", "ReLU", "GELU", "Tanh", "Flatten"]
 
 
 def _match_placement(new_data, old_data):
@@ -211,6 +212,39 @@ class ModuleList(Module, list):
     def append(self, e):
         self.register_param_or_module(str(len(self)), e)
         return list.append(self, e)
+
+
+class Sequential(ModuleList):
+    """Chain of modules applied in order (torch-style convenience; the
+    reference has no container modules at all -- its models wire layers by
+    hand, reference nn.py)."""
+
+    def forward(self, x):
+        for m in self:
+            x = m(x)
+        return x
+
+
+class ReLU(Module):
+    def forward(self, x):
+        return x.relu()
+
+
+class GELU(Module):
+    def forward(self, x):
+        return x.gelu()
+
+
+class Tanh(Module):
+    def forward(self, x):
+        return x.tanh()
+
+
+class Flatten(Module):
+    """Collapse all non-batch axes (the usual conv->linear bridge)."""
+
+    def forward(self, x):
+        return x.reshape(x.shape[0], -1)
 
 
 class Linear(Module):

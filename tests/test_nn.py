@@ -682,3 +682,57 @@ def test_gradient_accumulation_matches_big_batch():
         micro.backward()
     got = m2.weight.grad.numpy()
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_sequential_container():
+    """Sequential chains modules, registers params, trains end to end."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu.autograd import Tensor
+
+    np.random.seed(0)
+    net = nn.Sequential(
+        nn.Conv2d(1, 4, kernelsize=3, pad="same"),
+        nn.ReLU(),
+        nn.Flatten(),
+        nn.Linear(4 * 8 * 8, 16),
+        nn.GELU(),
+        nn.Linear(16, 3),
+    )
+    names = dict(net.named_parameters())
+    assert "0.w" in names or "0.weight" in names          # conv params
+    assert "3.weight" in names and "5.weight" in names    # linears by index
+
+    x = Tensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 1, 8, 8)).astype(np.float32),
+        requires_grad=False)
+    y = Tensor.from_numpy((np.arange(8) % 3).astype(np.int32),
+                          requires_grad=False)
+    opt = light.optim.Adam(net.parameters(), lr=1e-2)
+    first = last = None
+    for _ in range(12):
+        loss = light.loss.cross_entropy(net(x), y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        first = first if first is not None else loss.item()
+        last = loss.item()
+    assert last < first
+
+    # eval/train propagates through the container
+    net.eval()
+    assert all(not m.training for m in net)
+
+    # state_dict round-trips by index names
+    sd = net.state_dict()
+    net2 = nn.Sequential(
+        nn.Conv2d(1, 4, kernelsize=3, pad="same"),
+        nn.ReLU(),
+        nn.Flatten(),
+        nn.Linear(4 * 8 * 8, 16),
+        nn.GELU(),
+        nn.Linear(16, 3),
+    )
+    net2.load_parameters(sd)
+    np.testing.assert_allclose(
+        net2(x).numpy(), net(x).numpy(), rtol=1e-6, atol=1e-6)
