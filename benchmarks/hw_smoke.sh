@@ -24,5 +24,6 @@ run mlp python examples/mnist.py --steps 200
 run cnn python examples/mnist.py --model cnn --steps 120
 run bert python examples/bert.py
 run gpt_char python examples/gpt.py --steps 120
+run t5_seq2seq python examples/t5.py --steps 300
 
 echo "smoke log written to $LOG"

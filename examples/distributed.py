@@ -7,6 +7,7 @@ doubles as living documentation of the parallel stack:
   1. data+tensor parallel training step (shard_module + GSPMD collectives)
   2. sequence-parallel exact attention via the ppermute ring
   3. pipeline-parallel training under the 1F1B schedule
+  4. expert-parallel GPT-MoE (one expert per ep slice, routed top-k)
 
 The reference is single-process/single-device (SURVEY.md §2.3); everything
 here is the TPU-native extension axis.
@@ -152,9 +153,48 @@ def pipeline_1f1b_demo():
           f"{float(want):.4f}, grads exact")
 
 
+def moe_expert_parallel_demo():
+    """GPT-MoE trained dp=2 x ep=4: stacked expert weights shard one expert
+    per ep slice; the router's load-balancing aux loss joins the LM loss."""
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.parallel import make_mesh, shard_module, GPT_MOE_RULES
+
+    np.random.seed(4)
+    cfg = GPTConfig(vocab_size=64, n_positions=16, n_embd=32, n_layer=2,
+                    n_head=2, n_experts=4, moe_k=2, moe_hidden=64)
+    model = GPT(cfg)
+    mesh = make_mesh(dp=2, ep=4)
+    shard_module(model, mesh, GPT_MOE_RULES)
+
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 64, (4, 12)).astype(np.int32)
+    x = TpuTensor.from_numpy(ids, requires_grad=False)
+    y = TpuTensor.from_numpy(np.roll(ids, -1, 1).reshape(-1),
+                             requires_grad=False)
+    opt = light.optim.Adam(model.parameters(), lr=5e-3)
+
+    def step():
+        loss = light.loss.cross_entropy(model(x).reshape(-1, 64), y) \
+            + model.aux_loss * 0.01
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss
+
+    fn = light.jit(step)
+    losses = [fn().item() for _ in range(10)]
+    w1 = dict(model.named_parameters())["h.0.moe.w1"]
+    per_dev = {s.data.shape for s in w1.data.addressable_shards}
+    print(f"[moe dp2 x ep4] expert stack {tuple(w1.shape)} -> {per_dev} "
+          f"per device; loss {losses[0]:.3f} -> {losses[-1]:.3f}")
+
+
 if __name__ == "__main__":
     assert len(jax.devices()) >= 8, "needs 8 (virtual) devices"
     dp_tp_training_step()
     ring_attention_demo()
     pipeline_1f1b_demo()
+    moe_expert_parallel_demo()
     print("all distributed demos green")
