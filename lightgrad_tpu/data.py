@@ -122,6 +122,39 @@ class DeviceDataset(Dataset):
             yield TpuTensor.from_numpy(np.int32(i * self._bs), requires_grad=False)
 
 
+class LMDataset(DeviceDataset):
+    """Causal-LM windows over a token stream, device-resident.
+
+    ``tokens`` is a 1-D int array (any tokenizer's output).  Builds
+    ``(N, seq)`` input windows and their next-token targets (``stride``
+    controls window overlap; default non-overlapping), uploads both to the
+    device once, then serves constant-shape batches / traced offsets like
+    :class:`DeviceDataset`::
+
+        ds = light.data.LMDataset(token_ids, seq=512, batchsize=8)
+        xs, ys = ds.tensors
+        step = light.jit(lambda off: train_step(xs.narrow(off, 8),
+                                                ys.narrow(off, 8)))
+        for off in ds.offsets():
+            loss = step(off)
+
+    The epoch shuffle permutes inputs and targets with the SAME device-side
+    permutation (DeviceDataset.shuffle), so pairs stay aligned.
+    """
+
+    def __init__(self, tokens, seq: int, stride: int = None,
+                 shuffle: bool = True, batchsize: int = 8):
+        tokens = np.asarray(tokens)
+        assert tokens.ndim == 1, f"token stream must be 1-D, got {tokens.shape}"
+        assert len(tokens) > seq, (len(tokens), seq)
+        stride = stride or seq
+        starts = np.arange(0, len(tokens) - seq, stride)
+        xs = np.stack([tokens[s:s + seq] for s in starts]).astype(np.int32)
+        ys = np.stack([tokens[s + 1:s + seq + 1] for s in starts]).astype(np.int32)
+        self.seq = seq
+        super().__init__((xs, ys), shuffle=shuffle, batchsize=batchsize)
+
+
 _MNIST_MIRRORS = [
     "https://storage.googleapis.com/cvdf-datasets/mnist/",
     "https://ossci-datasets.s3.amazonaws.com/mnist/",

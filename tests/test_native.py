@@ -70,3 +70,35 @@ def test_device_dataset():
     ds2 = light.data.DeviceDataset((xs, ys), shuffle=True, batchsize=8)
     for x, y in ds2:
         np.testing.assert_array_equal(x.numpy()[:, 0], 2 * y.numpy())
+
+
+def test_lm_dataset_windows():
+    import lightgrad_tpu as light
+
+    toks = np.arange(100, dtype=np.int64)
+    ds = light.data.LMDataset(toks, seq=8, shuffle=False, batchsize=4)
+    xs, ys = ds.tensors
+    # non-overlapping windows; targets are the next-token shift
+    np.testing.assert_array_equal(xs.numpy()[0], np.arange(8))
+    np.testing.assert_array_equal(ys.numpy()[0], np.arange(1, 9))
+    np.testing.assert_array_equal(xs.numpy()[1], np.arange(8, 16))
+    # every window's target == input shifted by one
+    np.testing.assert_array_equal(ys.numpy()[:, :-1], xs.numpy()[:, 1:])
+
+    # overlapping stride
+    ds2 = light.data.LMDataset(toks, seq=8, stride=4, shuffle=False,
+                               batchsize=4)
+    np.testing.assert_array_equal(ds2.tensors[0].numpy()[1], np.arange(4, 12))
+
+    # shuffle keeps (x, y) aligned; offsets() drive a jit step
+    ds3 = light.data.LMDataset(toks, seq=8, shuffle=True, batchsize=4)
+    xs3, ys3 = ds3.tensors
+    total = 0
+    step = light.jit(lambda off: (ys3.narrow(off, 4).astype("float32")
+                                  - xs3.narrow(off, 4).astype("float32"))
+                     .sum())
+    for off in ds3.offsets():
+        d = step(off)
+        total += int(d.item())
+        assert d.item() == 4 * 8  # shift-by-one everywhere, pairs aligned
+    assert total == len(ds3) * 32
