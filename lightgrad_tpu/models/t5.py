@@ -396,6 +396,68 @@ class T5ForConditionalGeneration(nn.Module):
         x = self.decoder.dropout(self.decoder.final_layer_norm(x))
         return self._lm_logits(x), presents
 
+    def beam_generate(self, input_ids, max_new_tokens: int = 20,
+                      beam_size: int = 4, attention_mask=None,
+                      length_penalty: float = 1.0):
+        """Length-normalized beam search for ONE source sequence (batch 1),
+        over the incremental KV decode.  Caches are immutable tape tensors,
+        so a beam copy is a reference copy (same trick as
+        models/decoding.py).  ``beam_size=1`` is exactly greedy."""
+        from lightgrad_tpu import no_grad
+
+        T = type(input_ids) if not isinstance(input_ids, np.ndarray) else None
+        ids_np = input_ids.numpy() if T is not None else input_ids
+        assert ids_np.shape[0] == 1, "beam_generate decodes one sequence"
+        tensor_cls = T or Tensor
+        x_ids = (input_ids if T is not None else
+                 tensor_cls.from_numpy(ids_np.astype(np.int32),
+                                       requires_grad=False))
+
+        def lsm(x):
+            x = np.asarray(x, np.float64)
+            m = x.max()
+            e = np.exp(x - m)
+            return x - m - np.log(e.sum())
+
+        def norm(score, n):
+            return score / max(1, n) ** length_penalty
+
+        with no_grad():
+            enc = self.encode(x_ids, attention_mask=attention_mask)
+            enc_mask = (self._pad_mask(attention_mask)
+                        if attention_mask is not None else None)
+            cross_kvs = [blk.layer[1].EncDecAttention.cross_kv(enc)
+                         for blk in self.decoder.block]
+            # beam: (generated tokens, cumulative logprob, pasts)
+            beams = [([], 0.0, [None] * len(self.decoder.block))]
+            done = []
+            for _ in range(max_new_tokens):
+                cands = []
+                for toks, score, pasts in beams:
+                    prev = toks[-1] if toks else self.cfg.decoder_start_token_id
+                    tok = tensor_cls.from_numpy(
+                        np.array([[prev]], np.int32), requires_grad=False)
+                    logits, new_pasts = self._decode_step(
+                        tok, pasts, cross_kvs, enc_mask)
+                    lp = lsm(logits.numpy()[0, -1])
+                    for t in np.argsort(lp)[::-1][:beam_size]:
+                        cands.append((toks + [int(t)], score + float(lp[t]),
+                                      new_pasts))
+                cands.sort(key=lambda c: norm(c[1], len(c[0])), reverse=True)
+                beams = []
+                for toks, score, pasts in cands:
+                    if toks[-1] == self.cfg.eos_token_id:
+                        done.append((toks, score))
+                    else:
+                        beams.append((toks, score, pasts))
+                    if len(beams) == beam_size:
+                        break
+                if not beams:
+                    break
+            done.extend((toks, score) for toks, score, _ in beams)
+            best = max(done, key=lambda d: norm(d[1], len(d[0])))
+        return np.array(best[0], np.int32)
+
     def generate(self, input_ids, max_new_tokens: int = 20,
                  attention_mask=None, temperature: float = 0.0,
                  rng: np.random.Generator = None, use_cache: bool = True):

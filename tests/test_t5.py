@@ -283,3 +283,25 @@ def test_t5_kv_cache_decode_matches_full_rerun():
     s2 = model.generate(x, max_new_tokens=5, temperature=0.8,
                         rng=np.random.default_rng(0), use_cache=False)
     np.testing.assert_array_equal(s1, s2)
+
+
+def test_t5_beam_search():
+    """beam_size=1 equals greedy; beam_size=4 matches HF beam search."""
+    hf_model, hf_cfg = _small_hf_model()
+    model, cfg = _ours_from_hf(hf_model, hf_cfg)
+
+    rng = np.random.default_rng(12)
+    src = _ids(rng, 1, 8)
+    x = TpuTensor.from_numpy(src, requires_grad=False)
+
+    greedy = model.generate(x, max_new_tokens=6)
+    b1 = model.beam_generate(x, max_new_tokens=6, beam_size=1)
+    np.testing.assert_array_equal(b1, greedy[0, :len(b1)])
+
+    with torch.no_grad():
+        ref = hf_model.generate(torch.tensor(src.astype(np.int64)),
+                                max_new_tokens=6, num_beams=4,
+                                do_sample=False, length_penalty=1.0,
+                                early_stopping=True).numpy()[0]
+    b4 = model.beam_generate(x, max_new_tokens=6, beam_size=4)
+    np.testing.assert_array_equal(b4, ref[1:1 + len(b4)])
