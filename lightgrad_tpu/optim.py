@@ -11,7 +11,8 @@ SURVEY.md §3.3).
 
 from .autograd import Gradients, AbstractTensor
 
-__all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief", "Lion"]
+__all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief", "Lion",
+           "RMSprop", "Adagrad"]
 
 
 class Optimizer:
@@ -194,6 +195,66 @@ class Lion(Optimizer):
         if self.wd:
             d = d + self.parameters[i] * (-self.lr * self.wd)
         return d
+
+
+class RMSprop(Optimizer):
+    """RMSprop with optional momentum and the centered variant (torch
+    semantics: ``sq = a*sq + (1-a)*g^2``, denom ``sqrt(sq) + eps`` -- eps
+    OUTSIDE the sqrt; centered subtracts the squared running mean first;
+    the momentum buffer accumulates ``g/denom``).  Validated step-for-step
+    against ``torch.optim.RMSprop`` (tests/test_nn.py).  No counterpart in
+    the reference (/root/reference/lightgrad/optim.py)."""
+
+    def __init__(self, parameters, lr: float = 1e-2, alpha: float = 0.99,
+                 eps: float = 1e-8, momentum: float = 0.0,
+                 centered: bool = False):
+        super().__init__(parameters)
+        self.lr, self.alpha, self.eps = lr, alpha, eps
+        self.momentum, self.centered = momentum, centered
+        self.sq = [self._zeros_like(p) for p in self.parameters]
+        self.buf = ([self._zeros_like(p) for p in self.parameters]
+                    if momentum else None)
+        self.avg = ([self._zeros_like(p) for p in self.parameters]
+                    if centered else None)
+
+    def compute_delta(self, grad, i):
+        g1 = 1.0 if self._gate is None else self._gate
+        keep = 0.0 if self._gate is None else (1.0 - self._gate)
+        sq = self.sq[i]
+        sq *= self.alpha * g1 + keep
+        sq += grad * grad * ((1 - self.alpha) * g1)
+        if self.centered:
+            avg = self.avg[i]
+            avg *= self.alpha * g1 + keep
+            avg += grad * ((1 - self.alpha) * g1)
+            denom = (sq - avg * avg) ** 0.5 + self.eps
+        else:
+            denom = sq ** 0.5 + self.eps
+        if self.buf is None:
+            return grad * (-self.lr * g1) / denom
+        buf = self.buf[i]
+        buf *= self.momentum * g1 + keep
+        buf += grad * g1 / denom
+        return buf * (-self.lr * g1) if self._gate is not None \
+            else buf * (-self.lr)
+
+
+class Adagrad(Optimizer):
+    """Adagrad: ``sum += g^2``, ``delta = -lr * g / (sqrt(sum) + eps)``
+    (torch semantics, ``lr_decay=0``).  Validated against
+    ``torch.optim.Adagrad`` (tests/test_nn.py).  No counterpart in the
+    reference."""
+
+    def __init__(self, parameters, lr: float = 1e-2, eps: float = 1e-10):
+        super().__init__(parameters)
+        self.lr, self.eps = lr, eps
+        self.sum = [self._zeros_like(p) for p in self.parameters]
+
+    def compute_delta(self, grad, i):
+        g1 = 1.0 if self._gate is None else self._gate
+        s = self.sum[i]
+        s += grad * grad * g1
+        return grad * (-self.lr * g1) / (s ** 0.5 + self.eps)
 
 
 @Gradients.no_grad()

@@ -736,3 +736,65 @@ def test_sequential_container():
     net2.load_parameters(sd)
     np.testing.assert_allclose(
         net2(x).numpy(), net(x).numpy(), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("kw", [
+    {"lr": 0.05},
+    {"lr": 0.05, "momentum": 0.9},
+    {"lr": 0.05, "centered": True},
+    {"lr": 0.05, "momentum": 0.9, "centered": True},
+])
+def test_rmsprop_matches_torch(kw):
+    """Step-for-step parity with torch.optim.RMSprop (plain / momentum /
+    centered variants)."""
+    torch = pytest.importorskip("torch")
+
+    np.random.seed(3)
+    p_np = np.random.uniform(-1, 1, (5, 3)).astype(np.float32)
+    grads = [np.random.uniform(-1, 1, (5, 3)).astype(np.float32)
+             for _ in range(5)]
+
+    pt = torch.nn.Parameter(torch.tensor(p_np))
+    topt = torch.optim.RMSprop([pt], alpha=0.99, eps=1e-8, **kw)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.RMSprop([p], alpha=0.99, eps=1e-8, **kw)
+
+    for g in grads:
+        topt.zero_grad()
+        pt.grad = torch.tensor(g)
+        topt.step()
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), pt.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_adagrad_matches_torch():
+    torch = pytest.importorskip("torch")
+
+    np.random.seed(4)
+    p_np = np.random.uniform(-1, 1, (4, 4)).astype(np.float32)
+    grads = [np.random.uniform(-1, 1, (4, 4)).astype(np.float32)
+             for _ in range(5)]
+
+    pt = torch.nn.Parameter(torch.tensor(p_np))
+    topt = torch.optim.Adagrad([pt], lr=0.1, eps=1e-10)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.Adagrad([p], lr=0.1, eps=1e-10)
+
+    for g in grads:
+        topt.zero_grad()
+        pt.grad = torch.tensor(g)
+        topt.step()
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), pt.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
