@@ -14,7 +14,8 @@ from .autograd import Tensor, AbstractTensor
 
 __all__ = ["Module", "ModuleList", "Sequential", "Linear", "Conv2d",
            "ConvTranspose2d", "BatchNorm2d", "LayerNorm", "Embedding",
-           "Dropout", "MoE", "ReLU", "GELU", "Tanh", "Flatten"]
+           "Dropout", "MoE", "ReLU", "GELU", "Tanh", "Flatten",
+           "GroupNorm", "MaxPool2d", "AvgPool2d"]
 
 
 def _match_placement(new_data, old_data):
@@ -405,6 +406,61 @@ class Embedding(Module):
 
     def forward(self, ids):
         return self.weight[ids]
+
+
+class GroupNorm(Module):
+    """Group normalization (https://arxiv.org/abs/1803.08494): normalize
+    over (C/groups, *spatial) per group, per-channel affine.  Batch-size
+    independent (no running stats), so unlike BatchNorm it behaves the same
+    under data-parallel sharding and at batch 1.  torch-parity tested."""
+
+    def __init__(self, num_groups: int, num_channels: int, eps: float = 1e-5,
+                 affine: bool = True):
+        super().__init__()
+        assert num_channels % num_groups == 0, (num_groups, num_channels)
+        self.groups, self.channels, self.eps = num_groups, num_channels, eps
+        if affine:
+            self.weight = Tensor.ones((num_channels,))
+            self.bias = Tensor.zeros((num_channels,))
+
+    def forward(self, x):
+        n, c = x.shape[0], x.shape[1]
+        assert c == self.channels, (c, self.channels)
+        xs = x.reshape(n, self.groups, -1)
+        mu = xs.mean(axis=-1, keepdims=True)
+        d = xs - mu
+        var = (d * d).mean(axis=-1, keepdims=True)
+        xn = (d * (var + self.eps) ** -0.5).reshape(*x.shape)
+        if not hasattr(self, "weight"):
+            return xn
+        shape = (1, c) + (1,) * (len(x.shape) - 2)
+        return xn * self.weight.reshape(*shape) + self.bias.reshape(*shape)
+
+
+class MaxPool2d(Module):
+    """Module wrapper over the ``max_pool2d`` op (torch semantics:
+    stride defaults to kernel, int padding pads with -inf)."""
+
+    def __init__(self, kernel: int = 2, stride: int = None, padding: int = 0):
+        super().__init__()
+        self.kernel = (kernel, kernel) if isinstance(kernel, int) else kernel
+        self.stride, self.padding = stride, padding
+
+    def forward(self, x):
+        return x.max_pool2d(kernel=self.kernel, stride=self.stride,
+                            padding=self.padding)
+
+
+class AvgPool2d(Module):
+    """Module wrapper over ``mean_pool`` (non-overlapping windows:
+    stride == kernel)."""
+
+    def __init__(self, kernel: int = 2):
+        super().__init__()
+        self.kernel = (kernel, kernel) if isinstance(kernel, int) else kernel
+
+    def forward(self, x):
+        return x.mean_pool(kernel=self.kernel)
 
 
 class Dropout(Module):

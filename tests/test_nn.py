@@ -798,3 +798,62 @@ def test_adagrad_matches_torch():
 
         np.testing.assert_allclose(p.numpy(), pt.detach().numpy(),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_groupnorm_matches_torch():
+    """GroupNorm fwd + input/affine grads vs torch.nn.GroupNorm."""
+    torch = pytest.importorskip("torch")
+    import lightgrad_tpu.nn as nn
+
+    np.random.seed(5)
+    x_np = np.random.uniform(-2, 2, (3, 8, 5, 5)).astype(np.float32)
+
+    tg = torch.nn.GroupNorm(4, 8, eps=1e-5)
+    with torch.no_grad():
+        tg.weight.copy_(torch.arange(8, dtype=torch.float32) * 0.1 + 0.5)
+        tg.bias.copy_(torch.arange(8, dtype=torch.float32) * -0.05)
+    xt = torch.tensor(x_np, requires_grad=True)
+    yt = tg(xt)
+    yt.sum().backward()
+
+    g = nn.GroupNorm(4, 8, eps=1e-5)
+    g.load_parameters({"weight": tg.weight.detach().numpy(),
+                       "bias": tg.bias.detach().numpy()})
+    from lightgrad_tpu.autograd import Tensor
+    x = Tensor.from_numpy(x_np.copy())
+    y = g(x)
+    np.testing.assert_allclose(y.numpy(), yt.detach().numpy(),
+                               rtol=1e-5, atol=1e-5)
+    y.sum().backward()
+    np.testing.assert_allclose(x.grad.numpy(), xt.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g.weight.grad.numpy(), tg.weight.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(g.bias.grad.numpy(), tg.bias.grad.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    # no-affine variant
+    g2 = nn.GroupNorm(2, 8, affine=False)
+    t2 = torch.nn.GroupNorm(2, 8, affine=False)
+    np.testing.assert_allclose(
+        g2(Tensor.from_numpy(x_np.copy())).numpy(),
+        t2(torch.tensor(x_np)).detach().numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_pool_modules_match_torch():
+    torch = pytest.importorskip("torch")
+    import lightgrad_tpu.nn as nn
+
+    np.random.seed(6)
+    x_np = np.random.uniform(-1, 1, (2, 3, 8, 8)).astype(np.float32)
+    x = CpuTensor.from_numpy(x_np.copy(), requires_grad=False)
+
+    np.testing.assert_allclose(
+        nn.MaxPool2d(2)(x).numpy(),
+        torch.nn.MaxPool2d(2)(torch.tensor(x_np)).numpy())
+    np.testing.assert_allclose(
+        nn.MaxPool2d(3, stride=2, padding=1)(x).numpy(),
+        torch.nn.MaxPool2d(3, stride=2, padding=1)(torch.tensor(x_np)).numpy())
+    np.testing.assert_allclose(
+        nn.AvgPool2d(2)(x).numpy(),
+        torch.nn.AvgPool2d(2)(torch.tensor(x_np)).numpy(), rtol=1e-6, atol=1e-6)
