@@ -525,6 +525,181 @@ class T5ForConditionalGeneration(nn.Module):
                     break
         return out[:, 1:]
 
+    # ---- compiled KV-cache decoding (jax path) ---------------------------
+    def _kv_functions(self, max_len: int):
+        """Build ``(encode_fn, cross_fn, step_fn)`` closing over parameter
+        buffers -- the T5 analogue of GPT's ``_kv_functions`` contract
+        (models/gpt.py): the decoder self-attention cache is one stacked
+        ``(L, 2, H, max_len, dk)`` array, each step writes the new K/V row at
+        ``pos`` via dynamic_update_slice and attends one query over the fixed
+        window under a ``<= pos`` mask, so XLA compiles exactly ONE decoder
+        program regardless of output length.  ``encode_fn`` compiles once per
+        distinct source length (bucket sources for serving)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .gpt import _NotJaxBacked
+
+        cfg = self.cfg
+        H, dk, D = cfg.num_heads, cfg.d_kv, cfg.d_model
+        Le, Ld = cfg.num_layers, cfg.num_decoder_layers
+        eps = cfg.layer_norm_epsilon
+        gated = cfg.is_gated_act
+        p = {}
+        for name, t in self.named_parameters():
+            buf = t.data
+            if not isinstance(buf, jnp.ndarray):
+                raise _NotJaxBacked(type(buf).__name__)
+            p[name] = buf
+
+        def rms(x, w):
+            var = (x * x).mean(-1, keepdims=True)
+            return x * jax.lax.rsqrt(var + eps) * w
+
+        def gelu(x):
+            return 0.5 * x * (1 + jnp.tanh(
+                0.7978845608028654 * (x + 0.044715 * x ** 3)))
+
+        def ff(x, pre):
+            if gated:
+                h = gelu(x @ p[pre + "wi_0.weight"].T) \
+                    * (x @ p[pre + "wi_1.weight"].T)
+            else:
+                h = jax.nn.relu(x @ p[pre + "wi.weight"].T)
+            return h @ p[pre + "wo.weight"].T
+
+        def heads(x, w):                      # (S, D) @ -> (H, S, dk)
+            return (x @ w.T).reshape(-1, H, dk).transpose(1, 0, 2)
+
+        def enc_bias(S):
+            rel = np.arange(S)[None, :] - np.arange(S)[:, None]
+            buckets = _relative_position_bucket(
+                rel, bidirectional=True,
+                num_buckets=cfg.relative_attention_num_buckets,
+                max_distance=cfg.relative_attention_max_distance)
+            table = p["encoder.block.0.layer.0.SelfAttention."
+                      "relative_attention_bias.weight"]
+            return table[jnp.asarray(buckets)].transpose(2, 0, 1)  # (H,S,S)
+
+        # decoder bucket matrix for the fixed window, precomputed host-side
+        rel_d = np.arange(max_len)[None, :] - np.arange(max_len)[:, None]
+        dec_buckets = jnp.asarray(_relative_position_bucket(
+            rel_d, bidirectional=False,
+            num_buckets=cfg.relative_attention_num_buckets,
+            max_distance=cfg.relative_attention_max_distance))
+
+        @jax.jit
+        def encode_fn(toks, add_mask):
+            """(S,) int32 + (S,) additive mask -> (S, D) encoder states."""
+            x = p["shared.weight"][toks]
+            S = toks.shape[0]
+            bias = enc_bias(S) + add_mask[None, None, :]
+            for l in range(Le):
+                pre = f"encoder.block.{l}.layer."
+                h = rms(x, p[pre + "0.layer_norm.weight"])
+                a = pre + "0.SelfAttention."
+                q, k, v = (heads(h, p[a + n + ".weight"]) for n in "qkv")
+                scores = jnp.einsum("hqd,hkd->hqk", q, k) + bias
+                att = jax.nn.softmax(scores, axis=-1) @ v   # (H, S, dk)
+                att = att.transpose(1, 0, 2).reshape(S, H * dk)
+                x = x + att @ p[a + "o.weight"].T
+                h = rms(x, p[pre + "1.layer_norm.weight"])
+                x = x + ff(h, pre + "1.DenseReluDense.")
+            return rms(x, p["encoder.final_layer_norm.weight"])
+
+        @jax.jit
+        def cross_fn(enc):
+            """Encoder states -> per-decoder-layer cross K/V
+            (Ld, 2, H, S, dk)."""
+            kv = []
+            for l in range(Ld):
+                a = f"decoder.block.{l}.layer.1.EncDecAttention."
+                kv.append(jnp.stack([heads(enc, p[a + "k.weight"]),
+                                     heads(enc, p[a + "v.weight"])]))
+            return jnp.stack(kv)
+
+        def step(cache, pos, tok, cross, enc_add_mask):
+            """One decoder token at ``pos``: returns (cache, logits)."""
+            x = p["shared.weight"][tok][None, :]             # (1, D)
+            pos_mask = (jnp.arange(max_len) <= pos)[None, None, :]
+            brow = jax.lax.dynamic_slice(
+                dec_buckets, (pos, 0), (1, max_len))[0]      # (max_len,)
+            dtable = p["decoder.block.0.layer.0.SelfAttention."
+                       "relative_attention_bias.weight"]
+            bias = dtable[brow].T[:, None, :]                # (H, 1, max_len)
+            for l in range(Ld):
+                pre = f"decoder.block.{l}.layer."
+                a = pre + "0.SelfAttention."
+                h = rms(x, p[pre + "0.layer_norm.weight"])
+                q, k, v = (heads(h, p[a + n + ".weight"]) for n in "qkv")
+                kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
+                vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
+                cache = cache.at[l, 0].set(kc).at[l, 1].set(vc)
+                scores = jnp.einsum("hqd,hkd->hqk", q, kc) + bias
+                scores = jnp.where(pos_mask, scores, -1e9)
+                att = jax.nn.softmax(scores, axis=-1) @ vc
+                x = x + att.transpose(1, 0, 2).reshape(1, H * dk) \
+                    @ p[a + "o.weight"].T
+                c = pre + "1.EncDecAttention."
+                h = rms(x, p[pre + "1.layer_norm.weight"])
+                q = heads(h, p[c + "q.weight"])
+                scores = jnp.einsum("hqd,hkd->hqk", q, cross[l, 0]) \
+                    + enc_add_mask[None, None, :]
+                att = jax.nn.softmax(scores, axis=-1) @ cross[l, 1]
+                x = x + att.transpose(1, 0, 2).reshape(1, H * dk) \
+                    @ p[c + "o.weight"].T
+                h = rms(x, p[pre + "2.layer_norm.weight"])
+                x = x + ff(h, pre + "2.DenseReluDense.")
+            x = rms(x, p["decoder.final_layer_norm.weight"])
+            if cfg.tie_word_embeddings:
+                return cache, ((x * D ** -0.5) @ p["shared.weight"].T)[0]
+            return cache, (x @ p["lm_head.weight"].T)[0]
+
+        return encode_fn, cross_fn, jax.jit(step)
+
+    def generate_compiled(self, src_ids, max_new_tokens: int = 20,
+                          attention_mask=None, temperature: float = 0.0,
+                          rng: np.random.Generator = None):
+        """Fixed-shape compiled decoding for ONE source sequence: the
+        encoder + cross-K/V run once, then every generated token reuses the
+        SAME compiled one-token program (no per-length recompiles, no
+        per-op dispatch -- the production serving path; the eager
+        ``generate`` is the oracle it is tested against)."""
+        import jax.numpy as jnp
+
+        from .gpt import _sample
+
+        src = np.asarray(src_ids if isinstance(src_ids, np.ndarray)
+                         else src_ids.numpy(), np.int32)
+        assert src.ndim == 1 or src.shape[0] == 1, "one sequence at a time"
+        src = src.reshape(-1)
+        am = (np.asarray(attention_mask).reshape(-1).astype(np.float32)
+              if attention_mask is not None else np.ones(len(src), np.float32))
+        add_mask = jnp.asarray((1.0 - am) * _NEG)
+
+        W = max_new_tokens + 1
+        key = ("_t5_kv_fns", W)
+        if getattr(self, "_t5_kv_cache_key", None) != key:
+            object.__setattr__(self, "_t5_kv_fns", self._kv_functions(W))
+            object.__setattr__(self, "_t5_kv_cache_key", key)
+        encode_fn, cross_fn, step = self._t5_kv_fns
+
+        enc = encode_fn(jnp.asarray(src), add_mask)
+        cross = cross_fn(enc)
+        H, dk = self.cfg.num_heads, self.cfg.d_kv
+        cache = jnp.zeros((self.cfg.num_decoder_layers, 2, H, W, dk),
+                          dtype=enc.dtype)
+        rng = rng or np.random.default_rng(0)
+        out, tok = [], self.cfg.decoder_start_token_id
+        for pos in range(max_new_tokens):
+            cache, logits = step(cache, jnp.int32(pos), jnp.int32(tok),
+                                 cross, add_mask)
+            tok = _sample(np.asarray(logits), temperature, rng)
+            out.append(int(tok))
+            if tok == self.cfg.eos_token_id:
+                break
+        return np.array(out, np.int32)
+
     # ---- HF checkpoint interop ------------------------------------------
     @staticmethod
     def remap_hf_state(state: dict) -> dict:

@@ -305,3 +305,26 @@ def test_t5_beam_search():
                                 early_stopping=True).numpy()[0]
     b4 = model.beam_generate(x, max_new_tokens=6, beam_size=4)
     np.testing.assert_array_equal(b4, ref[1:1 + len(b4)])
+
+
+def test_t5_compiled_decode_matches_eager():
+    """generate_compiled (fixed-shape jax KV path) equals the eager
+    tape-level generate, greedy, with and without a padding mask."""
+    hf_model, hf_cfg = _small_hf_model()
+    model, cfg = _ours_from_hf(hf_model, hf_cfg)
+
+    rng = np.random.default_rng(13)
+    src = _ids(rng, 1, 8)
+    x = TpuTensor.from_numpy(src, requires_grad=False)
+
+    eager = model.generate(x, max_new_tokens=6)[0]
+    fast = model.generate_compiled(src[0], max_new_tokens=6)
+    np.testing.assert_array_equal(fast, eager[:len(fast)])
+
+    am = np.ones((1, 8), np.int32)
+    am[:, 6:] = 0
+    amt = TpuTensor.from_numpy(am, requires_grad=False)
+    eager_m = model.generate(x, max_new_tokens=5, attention_mask=amt)[0]
+    fast_m = model.generate_compiled(src[0], max_new_tokens=5,
+                                     attention_mask=am[0])
+    np.testing.assert_array_equal(fast_m, eager_m[:len(fast_m)])
