@@ -607,3 +607,31 @@ def test_scanned_gpt_tp_training_matches_unsharded():
     lb = losses_of(sharded)
     np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-5)
     assert lb[-1] < lb[0], lb
+
+
+@needs_mesh
+def test_tp_sharded_compiled_kv_decode():
+    """Tensor-parallel SERVING: GPT's compiled KV-cache decode runs with
+    TP-sharded parameters (the step/prefill programs close over sharded
+    buffers, so jax.jit compiles them SPMD and GSPMD places the
+    collectives) and produces exactly the single-device tokens."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.parallel import make_mesh, shard_module, GPT_TP_RULES
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=64, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    m = GPT(cfg)
+    ids = [int(t) for t in np.random.default_rng(0).integers(0, 64, 6)]
+    ref = [int(t) for t in m.generate(ids, max_new_tokens=8, use_cache=True)]
+
+    mesh = make_mesh(dp=1, tp=2)
+    shard_module(m, mesh, GPT_TP_RULES)
+    # the pre-shard run cached programs closing over the OLD buffers;
+    # sharding re-places every param, so the decode functions must rebuild
+    if hasattr(m, "_kv_fns"):
+        delattr(m, "_kv_fns")
+    out = [int(t) for t in m.generate(ids, max_new_tokens=8, use_cache=True)]
+    assert out == ref, (out, ref)
+    w = dict(m.named_parameters())["h.0.attn.c_attn.weight"]
+    assert {s.data.shape for s in w.data.addressable_shards} == {(48, 32)}
