@@ -328,3 +328,30 @@ def test_t5_compiled_decode_matches_eager():
     fast_m = model.generate_compiled(src[0], max_new_tokens=5,
                                      attention_mask=am[0])
     np.testing.assert_array_equal(fast_m, eager_m[:len(fast_m)])
+
+
+def test_t5_bf16_purity():
+    """A bf16-cast T5 keeps its whole residual stream bf16 (the relative
+    position bias and masks must cast to the score dtype, not upcast the
+    model -- the same hazard the GPT causal mask had, models/bert.py:91)."""
+    import jax.numpy as jnp
+    from lightgrad_tpu import amp
+
+    np.random.seed(7)
+    cfg = T5Config(vocab_size=48, d_model=16, d_kv=4, d_ff=32, num_layers=2,
+                   num_decoder_layers=2, num_heads=4,
+                   relative_attention_num_buckets=8,
+                   relative_attention_max_distance=10, dropout_rate=0.0)
+    model = T5ForConditionalGeneration(cfg)
+    amp.cast_module(model, jnp.bfloat16)
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(2, 48, (2, 6)).astype(np.int32)
+    tgt = rng.integers(2, 48, (2, 4)).astype(np.int32)
+    am = np.ones_like(src); am[:, 5:] = 0
+    logits = model(TpuTensor.from_numpy(src, requires_grad=False),
+                   TpuTensor.from_numpy(tgt, requires_grad=False),
+                   attention_mask=TpuTensor.from_numpy(
+                       am.astype(np.int32), requires_grad=False))
+    assert logits.dtype == jnp.bfloat16, logits.dtype
+    assert np.isfinite(logits.numpy().astype(np.float32)).all()
