@@ -83,15 +83,26 @@ def test_moe_gpt_trains():
     tgt = np.roll(x.numpy(), -1, axis=1).reshape(-1)
     tgt_t = TpuTensor.from_numpy(tgt.astype(np.int32), requires_grad=False)
     opt = light.optim.Adam(m.parameters(), lr=1e-2)
-    losses = []
-    for _ in range(15):
+
+    def step():
         logits = m(x).reshape(-1, 64)
         loss = light.loss.cross_entropy(logits, tgt_t) + m.aux_loss * 0.01
         opt.zero_grad()
         loss.backward()
         opt.step()
-        losses.append(loss.item())
-    assert losses[-1] < losses[0], losses[::5]
+        return loss
+
+    # one compiled program for the whole loop (the eager 15-step variant
+    # costs ~60 s of XLA:CPU per-op compiles on the CI host)
+    fn = light.jit(step)
+    losses = [fn().item() for _ in range(12)]
+    assert losses[-1] < losses[0], losses[::4]
+    # grad flow into the expert stacks: one EAGER backward (inside the
+    # compiled step the grad buffers are program-internal temporaries)
+    loss = light.loss.cross_entropy(m(x).reshape(-1, 64), tgt_t) \
+        + m.aux_loss * 0.01
+    m.zero_grad()
+    loss.backward()
     w1 = dict(m.named_parameters())["h.0.moe.w1"]
     assert w1.grad is not None and np.abs(w1.grad.numpy()).max() > 0
 
