@@ -210,3 +210,32 @@ def test_generate_repetition_penalty_and_stream():
     out_e = model.generate([1, 2], max_new_tokens=6, temperature=0.0,
                            eos_id=int(eos))
     assert out_e[-1] == eos and len(out_e) == 3, out_e
+
+
+def test_generate_batch_matches_single():
+    """Batched (vmap-lifted) compiled decode equals per-sequence decode for
+    ragged prompts, greedy and with eos stopping."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=48, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    m = GPT(cfg)
+    rng = np.random.default_rng(1)
+    prompts = [
+        [int(t) for t in rng.integers(0, 48, 3)],
+        [int(t) for t in rng.integers(0, 48, 7)],
+        [int(t) for t in rng.integers(0, 48, 5)],
+    ]
+    batched = m.generate_batch(prompts, max_new_tokens=6)
+    for pr, got in zip(prompts, batched):
+        want = m.generate(pr, max_new_tokens=6, use_cache=True)
+        assert [int(t) for t in got] == [int(t) for t in want], (got, want)
+
+    # eos stopping: pick each row's own first greedy token as its eos --
+    # every row must stop right after emitting it
+    eos = int(batched[0][len(prompts[0])])
+    stopped = m.generate_batch(prompts, max_new_tokens=6, eos_id=eos)
+    for pr, got in zip(prompts, stopped):
+        want = m.generate(pr, max_new_tokens=6, use_cache=True, eos_id=eos)
+        assert [int(t) for t in got] == [int(t) for t in want]
