@@ -1,7 +1,7 @@
 from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
 from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
 from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
-from .decoding import beam_search
+from .decoding import beam_search, generate_batch
 from .resnet import ResNet, BasicBlock, resnet20, resnet18
 from .vit import ViTConfig, ViTModel, ViTForImageClassification
 from .t5 import T5Config, T5ForConditionalGeneration

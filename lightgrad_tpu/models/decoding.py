@@ -17,7 +17,7 @@ infill, ``/root/reference/examples/bert.py:374-383``).
 
 import numpy as np
 
-__all__ = ["beam_search"]
+__all__ = ["beam_search", "generate_batch"]
 
 
 def _log_softmax(x):
@@ -83,3 +83,64 @@ def beam_search(model, ids, max_new_tokens: int, beam_size: int = 4,
         if eos_id is None or seq[-1] != eos_id:  # eos'd beams already final
             finalize(seq, score)
     return max(done, key=lambda d: d[1])[0]
+
+
+def generate_batch(model, prompts, max_new_tokens: int,
+                   temperature: float = 0.0, rng=None, top_k: int = 0,
+                   top_p: float = 0.0, eos_id: int = None):
+    """Batched compiled KV decoding over the ``_kv_functions`` contract
+    (GPT, Llama): B ragged prompts decode together.
+
+    The single-sequence compiled programs are lifted over the batch with
+    ``jax.vmap`` -- parameters broadcast as closure constants, per-sequence
+    caches/positions map over the leading axis -- so every generated round
+    costs ONE program dispatch for the whole batch (serving throughput)
+    instead of B.  Finished rows re-write their last cache slot harmlessly
+    until every row hits ``eos_id``.
+
+    Returns a list of B token lists (prompt + generated, eos included).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .gpt import _sample
+
+    W = _window(model)
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    assert max(lens) + max_new_tokens <= W, (
+        f"prompt+new must fit the window ({max(lens)}+{max_new_tokens} > {W})")
+    if not hasattr(model, "_kv_fns"):
+        model._kv_fns = model._kv_functions()
+    init_cache, prefill, step = model._kv_fns
+    if not hasattr(model, "_kv_batch_fns"):
+        model._kv_batch_fns = (jax.jit(jax.vmap(prefill)),
+                               jax.jit(jax.vmap(step)))
+    bprefill, bstep = model._kv_batch_fns
+
+    toks = np.zeros((B, W), np.int32)
+    for i, pr in enumerate(prompts):
+        toks[i, :len(pr)] = pr
+    c0 = init_cache()
+    caches = jnp.zeros((B,) + c0.shape, c0.dtype)
+    caches, logits = bprefill(caches, jnp.asarray(toks),
+                              jnp.asarray(lens, np.int32))
+    rng = rng or np.random.default_rng(0)
+    outs = [list(p) for p in prompts]
+    finished = [False] * B
+    for t in range(max_new_tokens):
+        if t > 0:
+            pos = jnp.asarray([len(o) - 1 for o in outs], np.int32)
+            tok = jnp.asarray([o[-1] for o in outs], np.int32)
+            caches, logits = bstep(caches, pos, tok)
+        lg = np.asarray(logits)
+        for i in range(B):
+            if finished[i]:
+                continue
+            nxt = _sample(lg[i], temperature, rng, top_k=top_k, top_p=top_p)
+            outs[i].append(int(nxt))
+            if eos_id is not None and outs[i][-1] == eos_id:
+                finished[i] = True
+        if all(finished):
+            break
+    return outs

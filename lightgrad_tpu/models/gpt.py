@@ -386,52 +386,11 @@ class GPT(nn.Module):
 
         Returns a list of B token lists (prompt + generated, eos included).
         """
-        import jax
-        import jax.numpy as jnp
+        from .decoding import generate_batch
 
-        W = self.cfg.n_positions
-        B = len(prompts)
-        lens = [len(p) for p in prompts]
-        assert max(lens) + max_new_tokens <= W, (
-            f"prompt+new must fit the window ({max(lens)}+{max_new_tokens}"
-            f" > {W})")
-        if not hasattr(self, "_kv_fns"):
-            self._kv_fns = self._kv_functions()
-        init_cache, prefill, step = self._kv_fns
-        if not hasattr(self, "_kv_batch_fns"):
-            self._kv_batch_fns = (
-                jax.jit(jax.vmap(prefill)),
-                jax.jit(jax.vmap(step)),
-            )
-        bprefill, bstep = self._kv_batch_fns
-
-        toks = np.zeros((B, W), np.int32)
-        for i, pr in enumerate(prompts):
-            toks[i, :len(pr)] = pr
-        c0 = init_cache()
-        caches = jnp.zeros((B,) + c0.shape, c0.dtype)
-        caches, logits = bprefill(caches, jnp.asarray(toks),
-                                  jnp.asarray(lens, np.int32))
-        rng = rng or np.random.default_rng(0)
-        outs = [list(p) for p in prompts]
-        finished = [False] * B
-        for t in range(max_new_tokens):
-            if t > 0:
-                pos = jnp.asarray([len(o) - 1 for o in outs], np.int32)
-                tok = jnp.asarray([o[-1] for o in outs], np.int32)
-                caches, logits = bstep(caches, pos, tok)
-            lg = np.asarray(logits)
-            for i in range(B):
-                if finished[i]:
-                    continue
-                nxt = _sample(lg[i], temperature, rng, top_k=top_k,
-                              top_p=top_p)
-                outs[i].append(int(nxt))
-                if eos_id is not None and outs[i][-1] == eos_id:
-                    finished[i] = True
-            if all(finished):
-                break
-        return outs
+        return generate_batch(self, prompts, max_new_tokens,
+                              temperature=temperature, rng=rng, top_k=top_k,
+                              top_p=top_p, eos_id=eos_id)
 
     @staticmethod
     def remap_hf_state(state: dict) -> dict:

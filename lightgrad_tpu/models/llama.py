@@ -309,6 +309,18 @@ class Llama(nn.Module):
 
         return init_cache, prefill, jax.jit(step)
 
+    def generate_batch(self, prompts, max_new_tokens: int = 20,
+                       temperature: float = 0.0,
+                       rng: np.random.Generator = None, top_k: int = 0,
+                       top_p: float = 0.0, eos_id: int = None):
+        """Batched compiled KV decoding (see models/decoding.py:
+        generate_batch -- the vmap lift over the _kv_functions contract)."""
+        from .decoding import generate_batch
+
+        return generate_batch(self, prompts, max_new_tokens,
+                              temperature=temperature, rng=rng, top_k=top_k,
+                              top_p=top_p, eos_id=eos_id)
+
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
                      top_k: int = 0, top_p: float = 0.0):
         import jax.numpy as jnp

@@ -105,3 +105,20 @@ def test_concat_op_grads():
         got = t.concat(cls.from_numpy(2 * x), axis=-1).numpy()
         np.testing.assert_allclose(got, np.concatenate([x, 2 * x], -1), rtol=1e-6)
         assert_gradcheck(lambda a: a.concat(a, axis=0), cls.from_numpy(x))
+
+
+def test_llama_generate_batch_matches_single():
+    """Batched (vmap-lifted) compiled decode equals per-sequence decode."""
+    from lightgrad_tpu.models import Llama, LlamaConfig
+
+    np.random.seed(0)
+    cfg = LlamaConfig(vocab_size=48, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      intermediate_size=64, max_position_embeddings=32)
+    m = Llama(cfg)
+    rng = np.random.default_rng(2)
+    prompts = [[int(t) for t in rng.integers(0, 48, n)] for n in (3, 6)]
+    batched = m.generate_batch(prompts, max_new_tokens=5)
+    for pr, got in zip(prompts, batched):
+        want = m.generate(pr, max_new_tokens=5, use_cache=True)
+        assert [int(t) for t in got] == [int(t) for t in want], (got, want)
