@@ -17,7 +17,7 @@ infill, ``/root/reference/examples/bert.py:374-383``).
 
 import numpy as np
 
-__all__ = ["beam_search", "generate_batch"]
+__all__ = ["beam_search", "generate_batch", "generate_speculative"]
 
 
 def _log_softmax(x):
@@ -144,3 +144,88 @@ def generate_batch(model, prompts, max_new_tokens: int,
         if all(finished):
             break
     return outs
+
+
+def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
+                         eos_id: int = None):
+    """Exact greedy decoding accelerated by a draft model (speculative
+    decoding, greedy acceptance: https://arxiv.org/abs/2211.17192).
+
+    Each round the cheap ``draft`` proposes ``k`` tokens autoregressively,
+    then ``model`` scores all k+1 positions in ONE compiled scan
+    (``verify``): the longest draft prefix matching the target's own greedy
+    choices is accepted, plus the target's correction token -- so the
+    output is EXACTLY what plain greedy decoding of ``model`` produces,
+    in fewer target dispatches (1 verify per >=1 accepted tokens vs 1 step
+    per token).  Cache hygiene: rejected proposals leave stale K/V rows
+    beyond the accepted position, but the ``<= pos`` attention mask hides
+    them and the next round's writes overwrite them before they are ever
+    attended.
+
+    Both models must share a vocabulary.  Returns prompt + generated.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    W = min(_window(model), _window(draft))
+    ids = [int(t) for t in ids]
+    # + k: the fixed-length verify scan can write up to k rows past the
+    # final accepted position; they must stay inside the window (jax clamps
+    # out-of-range dynamic_update_slice starts, which would corrupt the
+    # last real row)
+    assert len(ids) + max_new_tokens + k <= W, (len(ids), max_new_tokens, k, W)
+    for m in (model, draft):
+        if not hasattr(m, "_kv_fns"):
+            m._kv_fns = m._kv_functions()
+    t_init, t_prefill, t_step = model._kv_fns
+    d_init, d_prefill, d_step = draft._kv_fns
+
+    key = ("_spec_verify", k)
+    if getattr(model, "_spec_verify_key", None) != key:
+        @jax.jit
+        def verify(cache, pos0, toks):
+            """Scan k+1 tokens from pos0; returns per-position argmax."""
+            def body(c, inp):
+                i, tok = inp
+                c, logits = t_step(c, pos0 + i, tok)
+                return c, jnp.argmax(logits)
+
+            return jax.lax.scan(
+                body, cache,
+                (jnp.arange(k + 1, dtype=jnp.int32), toks))
+
+        model._spec_verify = verify
+        model._spec_verify_key = key
+    verify = model._spec_verify
+
+    toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
+    t_cache, t_logits = t_prefill(t_init(), toks, len(ids))
+    d_cache, _ = d_prefill(d_init(), toks, len(ids))
+
+    out = list(ids)
+    out.append(int(np.argmax(np.asarray(t_logits))))
+    if eos_id is not None and out[-1] == eos_id:
+        return out
+    while len(out) - len(ids) < max_new_tokens:
+        # budget-capped proposal length (never decode past max_new_tokens)
+        kk = min(k, max_new_tokens - (len(out) - len(ids)))
+        proposals, tok, pos = [], out[-1], len(out) - 1
+        for j in range(kk):
+            d_cache, dl = d_step(d_cache, jnp.int32(pos + j), jnp.int32(tok))
+            tok = int(np.argmax(np.asarray(dl)))
+            proposals.append(tok)
+        vt = jnp.asarray(np.asarray(
+            [out[-1]] + proposals + [0] * (k - kk), np.int32))
+        t_cache, preds = verify(t_cache, jnp.int32(len(out) - 1), vt)
+        preds = np.asarray(preds)
+        m = 0
+        while m < kk and proposals[m] == int(preds[m]):
+            m += 1
+        # preds[m] is the correction on mismatch, the free bonus token when
+        # every proposal was accepted -- valid either way
+        accepted = proposals[:m] + [int(preds[m])]
+        new = accepted[: max_new_tokens - (len(out) - len(ids))]
+        out.extend(new)
+        if eos_id is not None and eos_id in new:
+            return out[: out.index(eos_id, len(ids)) + 1]
+    return out

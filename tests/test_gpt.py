@@ -239,3 +239,37 @@ def test_generate_batch_matches_single():
     for pr, got in zip(prompts, stopped):
         want = m.generate(pr, max_new_tokens=6, use_cache=True, eos_id=eos)
         assert [int(t) for t in got] == [int(t) for t in want]
+
+
+def test_speculative_decoding_exact():
+    """Speculative greedy decode == plain greedy decode, for an arbitrary
+    (disagreeing) draft and for draft == target (always accepts)."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.models.decoding import generate_speculative
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=48, n_positions=64, n_embd=32, n_layer=2,
+                    n_head=4)
+    target = GPT(cfg)
+    np.random.seed(123)  # different weights: draft disagrees often
+    draft = GPT(GPTConfig(vocab_size=48, n_positions=64, n_embd=16,
+                          n_layer=1, n_head=2))
+
+    rng = np.random.default_rng(3)
+    ids = [int(t) for t in rng.integers(0, 48, 5)]
+    want = [int(t) for t in target.generate(ids, max_new_tokens=12,
+                                            use_cache=True)]
+    got = generate_speculative(target, draft, ids, max_new_tokens=12, k=3)
+    assert got == want, (got, want)
+
+    # draft == target: every proposal accepted, same exact output
+    got2 = generate_speculative(target, target, ids, max_new_tokens=12, k=3)
+    assert got2 == want
+
+    # eos stopping parity
+    eos = want[len(ids) + 2]
+    want_e = [int(t) for t in target.generate(ids, max_new_tokens=12,
+                                              use_cache=True, eos_id=eos)]
+    got_e = generate_speculative(target, draft, ids, max_new_tokens=12, k=3,
+                                 eos_id=eos)
+    assert got_e == want_e, (got_e, want_e)
