@@ -147,20 +147,27 @@ def generate_batch(model, prompts, max_new_tokens: int,
 
 
 def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
-                         eos_id: int = None):
-    """Exact greedy decoding accelerated by a draft model (speculative
-    decoding, greedy acceptance: https://arxiv.org/abs/2211.17192).
+                         eos_id: int = None, temperature: float = 0.0,
+                         rng=None):
+    """Draft-accelerated decoding (speculative decoding,
+    https://arxiv.org/abs/2211.17192).
 
     Each round the cheap ``draft`` proposes ``k`` tokens autoregressively,
     then ``model`` scores all k+1 positions in ONE compiled scan
-    (``verify``): the longest draft prefix matching the target's own greedy
-    choices is accepted, plus the target's correction token -- so the
-    output is EXACTLY what plain greedy decoding of ``model`` produces,
-    in fewer target dispatches (1 verify per >=1 accepted tokens vs 1 step
-    per token).  Cache hygiene: rejected proposals leave stale K/V rows
-    beyond the accepted position, but the ``<= pos`` attention mask hides
-    them and the next round's writes overwrite them before they are ever
-    attended.
+    (``verify``).
+
+    * ``temperature<=0`` (greedy): the longest draft prefix matching the
+      target's own argmax choices is accepted, plus the target's
+      correction/bonus token -- the output is EXACTLY plain greedy decoding
+      of ``model``, in fewer target dispatches.
+    * ``temperature>0`` (sampled): each proposal goes through the
+      rejection-sampling rule (``speculative_accept``) against the target's
+      tempered softmax, so every emitted token's marginal law is EXACTLY
+      the target distribution -- draft quality affects only speed.
+
+    Cache hygiene: rejected proposals leave stale K/V rows beyond the
+    accepted position, but the ``<= pos`` attention mask hides them and the
+    next round's writes overwrite them before they are ever attended.
 
     Both models must share a vocabulary.  Returns prompt + generated.
     """
@@ -184,11 +191,11 @@ def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
     if getattr(model, "_spec_verify_key", None) != key:
         @jax.jit
         def verify(cache, pos0, toks):
-            """Scan k+1 tokens from pos0; returns per-position argmax."""
+            """Scan k+1 tokens from pos0; returns per-position logits."""
             def body(c, inp):
                 i, tok = inp
                 c, logits = t_step(c, pos0 + i, tok)
-                return c, jnp.argmax(logits)
+                return c, logits
 
             return jax.lax.scan(
                 body, cache,
@@ -198,34 +205,84 @@ def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
         model._spec_verify_key = key
     verify = model._spec_verify
 
+    rng = rng or np.random.default_rng(0)
+    sampled = temperature > 0.0
+
+    def probs(logits):
+        z = np.asarray(logits, np.float64) / temperature
+        z -= z.max()
+        e = np.exp(z)
+        return e / e.sum()
+
     toks = jnp.asarray(np.pad(np.asarray(ids, np.int32), (0, W - len(ids))))
     t_cache, t_logits = t_prefill(t_init(), toks, len(ids))
     d_cache, _ = d_prefill(d_init(), toks, len(ids))
 
     out = list(ids)
-    out.append(int(np.argmax(np.asarray(t_logits))))
+    first = np.asarray(t_logits)
+    out.append(int(rng.choice(len(first), p=probs(first))) if sampled
+               else int(np.argmax(first)))
     if eos_id is not None and out[-1] == eos_id:
         return out
     while len(out) - len(ids) < max_new_tokens:
         # budget-capped proposal length (never decode past max_new_tokens)
         kk = min(k, max_new_tokens - (len(out) - len(ids)))
-        proposals, tok, pos = [], out[-1], len(out) - 1
+        proposals, d_probs, tok, pos = [], [], out[-1], len(out) - 1
         for j in range(kk):
             d_cache, dl = d_step(d_cache, jnp.int32(pos + j), jnp.int32(tok))
-            tok = int(np.argmax(np.asarray(dl)))
+            if sampled:
+                pd = probs(np.asarray(dl))
+                tok = int(rng.choice(len(pd), p=pd))
+                d_probs.append(pd)
+            else:
+                tok = int(np.argmax(np.asarray(dl)))
             proposals.append(tok)
         vt = jnp.asarray(np.asarray(
             [out[-1]] + proposals + [0] * (k - kk), np.int32))
-        t_cache, preds = verify(t_cache, jnp.int32(len(out) - 1), vt)
-        preds = np.asarray(preds)
-        m = 0
-        while m < kk and proposals[m] == int(preds[m]):
-            m += 1
-        # preds[m] is the correction on mismatch, the free bonus token when
-        # every proposal was accepted -- valid either way
-        accepted = proposals[:m] + [int(preds[m])]
+        t_cache, t_rows = verify(t_cache, jnp.int32(len(out) - 1), vt)
+        t_rows = np.asarray(t_rows)
+        if sampled:
+            accepted = []
+            for m in range(kk):
+                tok, ok = speculative_accept(
+                    d_probs[m], probs(t_rows[m]), proposals[m], rng)
+                accepted.append(int(tok))
+                if not ok:
+                    break
+            else:
+                # every proposal accepted: free bonus token from the target
+                pt = probs(t_rows[kk])
+                accepted.append(int(rng.choice(len(pt), p=pt)))
+        else:
+            preds = t_rows.argmax(-1)
+            m = 0
+            while m < kk and proposals[m] == int(preds[m]):
+                m += 1
+            # preds[m] is the correction on mismatch, the free bonus token
+            # when every proposal was accepted -- valid either way
+            accepted = proposals[:m] + [int(preds[m])]
         new = accepted[: max_new_tokens - (len(out) - len(ids))]
         out.extend(new)
         if eos_id is not None and eos_id in new:
             return out[: out.index(eos_id, len(ids)) + 1]
     return out
+
+
+def speculative_accept(p_draft, p_target, proposed, rng):
+    """One speculative rejection-sampling decision (Leviathan et al. 2023,
+    arXiv:2211.17192 App. A).  ``proposed`` was sampled from ``p_draft``;
+    accept it with probability ``min(1, p_t[x] / p_d[x])``, otherwise
+    resample from the residual ``normalize(max(p_t - p_d, 0))``.  The
+    marginal law of the returned token is EXACTLY ``p_target`` (verified by
+    Monte Carlo enumeration in tests/test_gpt.py).
+
+    Returns ``(token, accepted)``."""
+    x = int(proposed)
+    if rng.random() < min(1.0, float(p_target[x]) / max(float(p_draft[x]), 1e-20)):
+        return x, True
+    resid = np.maximum(np.asarray(p_target, np.float64)
+                       - np.asarray(p_draft, np.float64), 0.0)
+    s = resid.sum()
+    if s <= 0.0:  # distributions identical: rejection cannot occur, but
+        return x, True  # guard the degenerate float case anyway
+    return int(rng.choice(len(resid), p=resid / s)), False

@@ -273,3 +273,54 @@ def test_speculative_decoding_exact():
     got_e = generate_speculative(target, draft, ids, max_new_tokens=12, k=3,
                                  eos_id=eos)
     assert got_e == want_e, (got_e, want_e)
+
+
+def test_speculative_accept_marginal_law():
+    """Monte Carlo: the accept/resample rule's output marginal is exactly
+    the target distribution, for an adversarially different draft."""
+    from lightgrad_tpu.models.decoding import speculative_accept
+
+    p_d = np.array([0.70, 0.05, 0.05, 0.20])
+    p_t = np.array([0.10, 0.40, 0.25, 0.25])
+    rng = np.random.default_rng(0)
+    n = 40_000
+    counts = np.zeros(4)
+    for _ in range(n):
+        x = rng.choice(4, p=p_d)
+        y, _ = speculative_accept(p_d, p_t, x, rng)
+        counts[y] += 1
+    emp = counts / n
+    np.testing.assert_allclose(emp, p_t, atol=0.01), (emp, p_t)
+
+    # identical distributions: never resamples
+    for _ in range(200):
+        x = rng.choice(4, p=p_t)
+        y, ok = speculative_accept(p_t, p_t, x, rng)
+        assert ok and y == x
+
+
+def test_speculative_sampled_runs_and_greedy_unchanged():
+    """temperature>0 speculative decode emits valid tokens and terminates;
+    temperature=0 stays bit-exact vs plain greedy after the refactor."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.models.decoding import generate_speculative
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=32, n_positions=64, n_embd=32, n_layer=2,
+                    n_head=4)
+    target = GPT(cfg)
+    np.random.seed(7)
+    draft = GPT(GPTConfig(vocab_size=32, n_positions=64, n_embd=16,
+                          n_layer=1, n_head=2))
+    ids = [1, 5, 9]
+
+    want = [int(t) for t in target.generate(ids, max_new_tokens=10,
+                                            use_cache=True)]
+    got = generate_speculative(target, draft, ids, max_new_tokens=10, k=3)
+    assert got == want
+
+    samp = generate_speculative(target, draft, ids, max_new_tokens=10, k=3,
+                                temperature=0.9,
+                                rng=np.random.default_rng(5))
+    assert len(samp) == len(ids) + 10
+    assert all(0 <= t < 32 for t in samp)
