@@ -60,7 +60,7 @@ class GPTConfig:
                  n_layer=12, n_head=12, layer_norm_epsilon=1e-5,
                  scan_layers=False, remat=False, n_experts=0, moe_every=1,
                  moe_k=2, moe_dispatch="topk", moe_hidden=None,
-                 moe_capacity_factor=1.25, **unused):
+                 moe_capacity_factor=1.25, moe_shared=0, **unused):
         self.vocab_size = vocab_size
         self.n_positions = n_positions
         self.n_embd = n_embd
@@ -86,6 +86,7 @@ class GPTConfig:
         self.moe_dispatch = moe_dispatch
         self.moe_hidden = moe_hidden if moe_hidden is not None else 4 * n_embd
         self.moe_capacity_factor = moe_capacity_factor
+        self.moe_shared = moe_shared
         if n_experts and scan_layers:
             raise ValueError(
                 "scan_layers requires a homogeneous block stack; MoE blocks "
@@ -139,7 +140,8 @@ class GPTBlock(nn.Module):
             # residual connection carries capacity-dropped tokens
             self.moe = nn.MoE(cfg.n_embd, cfg.moe_hidden, cfg.n_experts,
                               dispatch=cfg.moe_dispatch, k=cfg.moe_k,
-                              capacity_factor=cfg.moe_capacity_factor)
+                              capacity_factor=cfg.moe_capacity_factor,
+                              n_shared=getattr(cfg, "moe_shared", 0))
         else:
             self.c_fc = nn.Linear(cfg.n_embd, 4 * cfg.n_embd)
             self.c_proj = nn.Linear(4 * cfg.n_embd, cfg.n_embd)

@@ -496,7 +496,8 @@ class MoE(Module):
 
     def __init__(self, dim: int, hidden: int, n_experts: int,
                  dispatch: str = "dense", capacity_factor: float = 1.25,
-                 k: int = 2, normalize_gates: bool = True):
+                 k: int = 2, normalize_gates: bool = True,
+                 n_shared: int = 0):
         super().__init__()
         assert dispatch in ("dense", "top1", "topk"), dispatch
         self.n_experts = n_experts
@@ -508,6 +509,19 @@ class MoE(Module):
         self.router = Linear(dim, n_experts, bias=False)
         self.w1 = _fan_in_uniform((n_experts, dim, hidden), dim)
         self.w2 = _fan_in_uniform((n_experts, hidden, dim), hidden)
+        # DeepSeekMoE-style SHARED experts (arXiv:2401.06066): always-on
+        # dense experts added to every token's routed output -- they absorb
+        # common knowledge so the routed experts specialize.  Stacked like
+        # the routed weights, but replicated (not ep-sharded): every device
+        # needs them every token.
+        self.n_shared = n_shared
+        if n_shared:
+            self.ws1 = _fan_in_uniform((n_shared, dim, hidden), dim)
+            self.ws2 = _fan_in_uniform((n_shared, hidden, dim), hidden)
+
+    def _shared(self, t, n_tok, dim):
+        tb = t.reshape(1, n_tok, dim)
+        return ((tb @ self.ws1).gelu() @ self.ws2).sum(axis=0)
 
     def _dense(self, t, n_tok, dim):
         gates = self.router(t).softmax(axis=-1)      # (T, E)
@@ -600,4 +614,6 @@ class MoE(Module):
             y = self._topk(t, n_tok, dim)
         else:
             y = self._dense(t, n_tok, dim)
+        if self.n_shared:
+            y = y + self._shared(t, n_tok, dim)
         return y.reshape(*lead, dim)

@@ -152,3 +152,49 @@ def test_moe_gpt_ep_sharded_train_step():
     assert np.isfinite(last) and last < first
     # params kept their ep sharding through the compiled steps
     assert {s.data.shape for s in w1.data.addressable_shards} == {(1, 16, 32)}
+
+
+def test_moe_shared_experts():
+    """DeepSeekMoE-style shared experts: always-on dense path adds to the
+    routed output, receives gradients, and stays replicated under ep."""
+    import jax
+    import lightgrad_tpu.nn as nn
+
+    np.random.seed(5)
+    moe = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="topk", k=2,
+                 n_shared=2)
+    names = dict(moe.named_parameters())
+    assert names["ws1"].shape == (2, 8, 16) and names["ws2"].shape == (2, 16, 8)
+
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (16, 8)).astype(np.float32))
+    y = moe(x)
+    assert y.shape == (16, 8)
+    (y * y).sum().backward()
+    assert np.abs(names["ws1"].grad.numpy()).max() > 0
+
+    # with zeroed routed experts, output reduces to the shared path alone
+    moe2 = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="topk", k=2,
+                  n_shared=2)
+    moe2.load_parameters({k: (np.zeros_like(v.numpy())
+                              if k in ("w1", "w2") else v.numpy())
+                          for k, v in names.items()})
+    x2 = x.detach()
+    shared_only = moe2(x2).numpy()
+    tb = x2.numpy().reshape(1, 16, 8)
+    want = (
+        np.stack([0.5 * h * (1 + np.tanh(0.7978845608028654 *
+                                         (h + 0.044715 * h ** 3)))
+                  for h in tb @ names["ws1"].numpy()]) @ names["ws2"].numpy()
+    ).sum(axis=0)
+    np.testing.assert_allclose(shared_only, want, rtol=2e-4, atol=2e-5)
+
+    if len(jax.devices()) >= 8:
+        from lightgrad_tpu.parallel import make_mesh, shard_module, MOE_EP_RULES
+        mesh = make_mesh(dp=2, ep=4)
+        shard_module(moe, mesh, MOE_EP_RULES)
+        # routed stacks shard one expert per ep slice; shared stay replicated
+        assert {s.data.shape for s in names["w1"].data.addressable_shards} \
+            == {(1, 8, 16)}
+        assert {s.data.shape for s in names["ws1"].data.addressable_shards} \
+            == {(2, 8, 16)}
