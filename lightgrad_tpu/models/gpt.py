@@ -185,13 +185,17 @@ class GPT(nn.Module):
         # router load-balancing losses (set per-forward by nn.MoE topk/top1
         # dispatch): summed over MoE blocks; a plain attribute, never a
         # parameter.  Add ``model.aux_loss * weight`` to the training loss.
-        aux = None
+        aux = zl = None
         if isinstance(self.h, nn.ModuleList):
             for block in self.h:
                 a = getattr(getattr(block, "moe", None), "aux_loss", None)
                 if a is not None:
                     aux = a if aux is None else aux + a
+                z = getattr(getattr(block, "moe", None), "z_loss", None)
+                if z is not None:
+                    zl = z if zl is None else zl + z
         object.__setattr__(self, "aux_loss", aux)
+        object.__setattr__(self, "z_loss", zl)
         x = self.ln_f(x)
         # weight-tied LM head: logits = x @ wte^T
         return x @ self.wte.weight.T(1, 0)

@@ -547,7 +547,15 @@ class MoE(Module):
 
         n_exp, k = self.n_experts, self.k
         cap = max(1, math.ceil(k * n_tok / n_exp * self.capacity_factor))
-        probs = self.router(t).softmax(axis=-1)      # (T, E)
+        logits = self.router(t)                      # (T, E)
+        probs = logits.softmax(axis=-1)
+
+        # router z-loss (ST-MoE, arXiv:2202.08906): mean squared logsumexp
+        # of the router logits -- keeps them small so the bf16 softmax stays
+        # well-conditioned.  Stable lse via a detached rowwise max shift.
+        m = logits.max(axis=-1, keepdims=True)
+        lse = (logits - m).exp().sum(axis=-1, keepdims=True).log() + m
+        object.__setattr__(self, "z_loss", (lse * lse).mean())
 
         # --- route: k argmax passes with deterministic tie-break ----------
         onehots, gates = [], []

@@ -198,3 +198,43 @@ def test_moe_shared_experts():
             == {(1, 8, 16)}
         assert {s.data.shape for s in names["ws1"].data.addressable_shards} \
             == {(2, 8, 16)}
+
+
+def test_moe_router_z_loss():
+    """z_loss = mean(logsumexp(router logits)^2); adding it to the training
+    loss shrinks the router logit scale."""
+    import lightgrad_tpu.nn as nn
+
+    np.random.seed(6)
+    moe = nn.MoE(dim=8, hidden=16, n_experts=4, dispatch="topk", k=2)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (32, 8)).astype(np.float32),
+        requires_grad=False)
+    moe(x)
+    # oracle: numpy logsumexp of the same router logits
+    logits = x.numpy() @ moe.router.weight.numpy().T
+    lse = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) \
+        + logits.max(-1)
+    np.testing.assert_allclose(moe.z_loss.item(), np.mean(lse ** 2),
+                               rtol=1e-5)
+    assert "z_loss" not in moe.state_dict()
+
+    opt = light.optim.Adam(moe.parameters(), lr=1e-2)
+    before = None
+    for _ in range(20):
+        moe(x)
+        zl = moe.z_loss
+        before = before if before is not None else zl.item()
+        opt.zero_grad()
+        zl.backward()
+        opt.step()
+    moe(x)
+    assert moe.z_loss.item() < before * 0.9
+
+
+def test_moe_gpt_collects_z_loss():
+    np.random.seed(8)
+    m = GPT(tiny_cfg())
+    m(ids(2, 8, seed=8))
+    assert m.z_loss is not None and m.z_loss.shape == ()
+    assert m.z_loss.item() > 0
