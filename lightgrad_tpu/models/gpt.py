@@ -490,6 +490,29 @@ class GPT2Tokenizer:
         self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
         self.byte_enc = self._bytes_to_unicode()
         self.byte_dec = {v: k for k, v in self.byte_enc.items()}
+        self._cache = {}
+        # native merge core (native/bpe.cc): symbols are vocab ids, so it
+        # applies only when every merge's parts AND result are vocab entries
+        # (true for the real GPT-2 vocab); otherwise the Python loop runs
+        self._native_handle = -1
+        try:
+            from lightgrad_tpu import native
+
+            pa, pb, mg = [], [], []
+            for a, b in self.bpe_ranks:
+                ia, ib = self.encoder.get(a), self.encoder.get(b)
+                im = self.encoder.get(a + b)
+                if ia is None or ib is None or im is None:
+                    pa = None
+                    break
+                pa.append(ia)
+                pb.append(ib)
+                mg.append(im)
+            if pa:
+                self._native_handle = native.bpe_new(
+                    np.array(pa), np.array(pb), np.array(mg))
+        except Exception:
+            self._native_handle = -1
 
     @staticmethod
     def _bytes_to_unicode():
@@ -523,16 +546,66 @@ class GPT2Tokenizer:
             word = merged
         return word
 
+    def _encode_word(self, mapped: str):
+        """BPE one pre-split word -> vocab ids (cached; native core when
+        every initial symbol is a vocab entry, Python loop otherwise)."""
+        cached = self._cache.get(mapped)
+        if cached is not None:
+            return cached
+        ids = None
+        if self._native_handle >= 0:
+            word = [self.encoder.get(ch) for ch in mapped]
+            if all(w is not None for w in word):
+                from lightgrad_tpu import native
+
+                ids = native.bpe_encode(
+                    self._native_handle,
+                    np.array(word, np.int32)).tolist()
+        if ids is None:
+            ids = [self.encoder[p] for p in self._bpe(mapped)
+                   if p in self.encoder]
+        self._cache[mapped] = ids
+        return ids
+
+    def _batch_fill_cache(self, words):
+        """One native call merges every uncached word of a text (the
+        per-call ctypes overhead dominates word-at-a-time for typical <24
+        symbol words -- measured 4x slower than Python; batched it wins)."""
+        from lightgrad_tpu import native
+
+        todo, seen = [], set()
+        for w in words:
+            if w in self._cache or w in seen:
+                continue
+            syms = [self.encoder.get(ch) for ch in w]
+            if any(s is None for s in syms):
+                continue  # unknown base symbol: Python fallback handles it
+            todo.append((w, syms))
+            seen.add(w)
+        if not todo:
+            return
+        flat = np.fromiter((s for _, syms in todo for s in syms), np.int32)
+        offs = np.zeros(len(todo) + 1, np.int64)
+        np.cumsum([len(syms) for _, syms in todo], out=offs[1:])
+        out, counts = native.bpe_encode_batch(self._native_handle, flat, offs)
+        pos = 0
+        for (w, _), c in zip(todo, counts):
+            self._cache[w] = out[pos:pos + int(c)].tolist()
+            pos += int(c)
+
     def encode(self, text: str):
         import re
 
         pat = re.compile(
             r"'s|'t|'re|'ve|'m|'ll|'d| ?\w+| ?[^\s\w]+|\s+(?!\S)|\s+"
         )
+        mapped = ["".join(self.byte_enc[b] for b in tok.encode("utf-8"))
+                  for tok in pat.findall(text)]
+        if self._native_handle >= 0:
+            self._batch_fill_cache(mapped)
         ids = []
-        for tok in pat.findall(text):
-            mapped = "".join(self.byte_enc[b] for b in tok.encode("utf-8"))
-            ids.extend(self.encoder[p] for p in self._bpe(mapped) if p in self.encoder)
+        for mw in mapped:
+            ids.extend(self._encode_word(mw))
         return ids
 
     def decode(self, ids):

@@ -1,4 +1,4 @@
-"""ctypes bridge to the native (C++) data-loader core.
+"""ctypes bridge to the native (C++) host runtime core.
 
 Auto-builds ``libltgnative.so`` with the in-tree Makefile on first import and
 degrades gracefully to numpy when no toolchain is available (set
@@ -13,7 +13,8 @@ import subprocess
 
 import numpy as np
 
-__all__ = ["available", "u8_to_f32", "shuffle_perm", "gather_rows", "one_hot"]
+__all__ = ["available", "u8_to_f32", "shuffle_perm", "gather_rows",
+           "one_hot", "bpe_new", "bpe_encode", "bpe_encode_batch"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libltgnative.so")
@@ -22,8 +23,11 @@ _lib = None
 
 
 def _src_hash() -> str:
-    with open(os.path.join(_DIR, "dataloader.cc"), "rb") as f:
-        return hashlib.sha256(f.read()).hexdigest()
+    h = hashlib.sha256()
+    for src in ("dataloader.cc", "bpe.cc"):
+        with open(os.path.join(_DIR, src), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
 
 
 def _load():
@@ -55,6 +59,13 @@ def _load():
         lib.lg_shuffle_perm.argtypes = [i64p, ctypes.c_int64, ctypes.c_uint64]
         lib.lg_gather_rows.argtypes = [u8p, i64p, ctypes.c_int64, ctypes.c_int64, u8p]
         lib.lg_one_hot.argtypes = [i32p, f32p, ctypes.c_int64, ctypes.c_int64]
+        lib.lg_bpe_new.argtypes = [i32p, i32p, i32p, ctypes.c_int64]
+        lib.lg_bpe_new.restype = ctypes.c_int64
+        lib.lg_bpe_encode.argtypes = [ctypes.c_int64, i32p, ctypes.c_int64, i32p]
+        lib.lg_bpe_encode.restype = ctypes.c_int64
+        lib.lg_bpe_encode_batch.argtypes = [ctypes.c_int64, i32p, i64p,
+                                            ctypes.c_int64, i32p, i64p]
+        lib.lg_bpe_encode_batch.restype = ctypes.c_int64
         _lib = lib
     except Exception as e:  # noqa: BLE001 - any build/load failure -> numpy path
         print(f"lightgrad_tpu.native unavailable ({e}); using numpy fallbacks")
@@ -118,3 +129,50 @@ def one_hot(labels: np.ndarray, num_classes: int) -> np.ndarray:
     lib.lg_one_hot(_ptr(labels, ctypes.c_int32), _ptr(out, ctypes.c_float),
                    len(labels), num_classes)
     return out
+
+
+def bpe_new(pair_a: np.ndarray, pair_b: np.ndarray,
+            merged: np.ndarray) -> int:
+    """Build a native BPE merge table (vocab-id pairs -> merged vocab id,
+    rank = array index).  Returns a handle, or -1 when the native tier is
+    unavailable (callers keep their Python merge loop as the fallback)."""
+    lib = _load()
+    if not lib:
+        return -1
+    pa = np.ascontiguousarray(pair_a, dtype=np.int32)
+    pb = np.ascontiguousarray(pair_b, dtype=np.int32)
+    mg = np.ascontiguousarray(merged, dtype=np.int32)
+    return int(lib.lg_bpe_new(_ptr(pa, ctypes.c_int32),
+                              _ptr(pb, ctypes.c_int32),
+                              _ptr(mg, ctypes.c_int32), len(pa)))
+
+
+def bpe_encode(handle: int, word: np.ndarray) -> np.ndarray:
+    """Run the greedy merge loop on initial vocab-id symbols."""
+    lib = _load()
+    w = np.ascontiguousarray(word, dtype=np.int32)
+    out = np.empty(len(w), dtype=np.int32)
+    n = int(lib.lg_bpe_encode(ctypes.c_int64(handle),
+                              _ptr(w, ctypes.c_int32), len(w),
+                              _ptr(out, ctypes.c_int32)))
+    assert n >= 0, "invalid native BPE handle"
+    return out[:n]
+
+
+def bpe_encode_batch(handle: int, flat: np.ndarray, offsets: np.ndarray):
+    """Merge a flattened batch of words in one native call.
+
+    ``flat``: all words' initial vocab ids concatenated; ``offsets``:
+    (n_words+1,) int64 word boundaries.  Returns (merged_flat, counts)."""
+    lib = _load()
+    flat = np.ascontiguousarray(flat, dtype=np.int32)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_words = len(offsets) - 1
+    out = np.empty(len(flat), dtype=np.int32)
+    counts = np.empty(n_words, dtype=np.int64)
+    total = int(lib.lg_bpe_encode_batch(
+        ctypes.c_int64(handle), _ptr(flat, ctypes.c_int32),
+        _ptr(offsets, ctypes.c_int64), n_words,
+        _ptr(out, ctypes.c_int32), _ptr(counts, ctypes.c_int64)))
+    assert total >= 0, "invalid native BPE handle"
+    return out[:total], counts

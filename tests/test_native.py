@@ -102,3 +102,44 @@ def test_lm_dataset_windows():
         total += int(d.item())
         assert d.item() == 4 * 8  # shift-by-one everywhere, pairs aligned
     assert total == len(ds3) * 32
+
+
+def _toy_tokenizer():
+    """Synthetic byte-level-free BPE where every merge result is in-vocab."""
+    from lightgrad_tpu.models import GPT2Tokenizer
+
+    chars = list("abcdef ")
+    vocab = {c: i for i, c in enumerate(chars)}
+    merges = [("a", "b"), ("c", "d"), ("ab", "cd"), ("e", "f"),
+              ("abcd", "ef")]
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab))
+    return GPT2Tokenizer(vocab, merges)
+
+
+def test_native_bpe_matches_python_loop():
+    """The C++ merge core produces exactly the Python _bpe pieces."""
+    from lightgrad_tpu import native
+
+    tok = _toy_tokenizer()
+    words = ["abcdef", "fedcba", "aabbccddeeff", "abab", "a", "ef",
+             "abcdefabcdef", "bdf"]
+    for w in words:
+        want = [tok.encoder[p] for p in tok._bpe(w)]
+        tok._cache.clear()
+        got = tok._encode_word(w)
+        assert got == want, (w, got, want)
+    if native.available():
+        assert tok._native_handle >= 0  # the toy vocab qualifies
+
+
+def test_native_bpe_overlapping_merge_order():
+    """Left-to-right non-overlapping application of the best pair."""
+    from lightgrad_tpu.models import GPT2Tokenizer
+
+    vocab = {"a": 0, "aa": 1, "aaaa": 2}
+    tok = GPT2Tokenizer(vocab, [("a", "a"), ("aa", "aa")])
+    # "aaa" -> merge pair (a,a) left-to-right: [aa, a]; (aa,aa) not present
+    assert tok._encode_word("aaa") == [1, 0]
+    assert tok._encode_word("aaaa") == [2]
+    assert tok._encode_word("aaaaa") == [2, 0]
