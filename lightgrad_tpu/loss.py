@@ -27,18 +27,48 @@ class mse(Function):
 
 
 class cross_entropy(Function):
-    """Softmax cross-entropy against integer labels."""
+    """Softmax cross-entropy against integer labels.
 
-    def forward(ctx, y, labels, axis: int = -1):
+    ``ignore_index`` (torch semantics) drops rows whose label equals it
+    (e.g. -100 padding in LM / seq2seq batches) and normalizes by the
+    VALID-row count; at least one row must be valid.  ``label_smoothing``
+    trains against ``(1-eps) * onehot + eps/K * uniform``.  Both are pure
+    tensor math (no data-dependent Python control flow), so padded-batch
+    steps stay compilable by ``lightgrad_tpu.jit``."""
+
+    def forward(ctx, y, labels, axis: int = -1, ignore_index: int = None,
+                label_smoothing: float = 0.0):
         probs = y.softmax(axis=axis)
         n = labels.shape[0]
+        k = y.shape[-1]
+        eps = float(label_smoothing)
+        if ignore_index is not None:
+            valid = labels.eq(ignore_index) * -1.0 + 1.0     # float {0,1}
+            # ignored labels may be out of range (-100): gather row 0 instead
+            labels = (labels * valid.astype(labels.dtype))
+            denom = valid.sum()
+        else:
+            valid, denom = None, None
         picked = probs[np.arange(n), labels]
-        ctx.save_for_backward(probs, labels, n)
-        return -(picked.log().mean())
+        nll = -(picked.log())
+        if eps:
+            nll = nll * (1.0 - eps) - probs.log().mean(axis=-1) * eps
+        if valid is not None:
+            total = (nll * valid).sum() / denom
+        else:
+            total = nll.mean()
+        ctx.save_for_backward(probs, labels, n, k, eps, valid, denom)
+        return total
 
     def backward(ctx, out_grad):
-        probs, labels, n = ctx.get_saved_tensors()
+        probs, labels, n, k, eps, valid, denom = ctx.get_saved_tensors()
+        # d/dlogits = probs - ((1-eps) onehot + eps/K), masked + normalized
         g = probs.copy(requires_grad=False)
-        g[np.arange(n), labels] -= 1.0
-        g *= 1.0 / n
+        if eps:
+            g -= eps / k
+        g[np.arange(n), labels] -= 1.0 - eps
+        if valid is not None:
+            g *= valid.reshape(n, 1) / denom
+        else:
+            g *= 1.0 / n
         return g * out_grad

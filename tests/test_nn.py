@@ -857,3 +857,48 @@ def test_pool_modules_match_torch():
     np.testing.assert_allclose(
         nn.AvgPool2d(2)(x).numpy(),
         torch.nn.AvgPool2d(2)(torch.tensor(x_np)).numpy(), rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 0.1])
+def test_cross_entropy_ignore_index_and_smoothing_match_torch(smoothing):
+    """Loss value AND logit gradients vs torch.nn.functional.cross_entropy
+    with ignore_index=-100 padding rows and label smoothing."""
+    torch = pytest.importorskip("torch")
+    from lightgrad_tpu.autograd import Tensor
+
+    np.random.seed(9)
+    logits_np = np.random.uniform(-2, 2, (10, 7)).astype(np.float32)
+    labels_np = np.random.randint(0, 7, 10).astype(np.int64)
+    labels_np[3] = -100
+    labels_np[8] = -100
+
+    lt = torch.tensor(logits_np, requires_grad=True)
+    ref = torch.nn.functional.cross_entropy(
+        lt, torch.tensor(labels_np), ignore_index=-100,
+        label_smoothing=smoothing)
+    ref.backward()
+
+    y = Tensor.from_numpy(logits_np.copy())
+    lab = Tensor.from_numpy(labels_np.astype(np.int32), requires_grad=False)
+    loss = light.loss.cross_entropy(y, lab, ignore_index=-100,
+                                    label_smoothing=smoothing)
+    np.testing.assert_allclose(loss.item(), ref.item(), rtol=1e-5, atol=1e-6)
+    loss.backward()
+    np.testing.assert_allclose(y.grad.numpy(), lt.grad.numpy(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_cross_entropy_plain_path_unchanged():
+    """No kwargs: same value as torch's default reduction."""
+    torch = pytest.importorskip("torch")
+    from lightgrad_tpu.autograd import Tensor
+
+    np.random.seed(10)
+    logits_np = np.random.uniform(-2, 2, (6, 5)).astype(np.float32)
+    labels_np = np.random.randint(0, 5, 6).astype(np.int64)
+    ref = torch.nn.functional.cross_entropy(
+        torch.tensor(logits_np), torch.tensor(labels_np))
+    y = Tensor.from_numpy(logits_np.copy())
+    lab = Tensor.from_numpy(labels_np.astype(np.int32), requires_grad=False)
+    loss = light.loss.cross_entropy(y, lab)
+    np.testing.assert_allclose(loss.item(), ref.item(), rtol=1e-5, atol=1e-6)
