@@ -97,3 +97,32 @@ class Tracker:
             for p in Profiler._active:
                 p.update(self.name, dt, backward=self.backward)
         return False
+
+
+class device_trace:
+    """XLA/TPU device trace for TensorBoard (``jax.profiler``): records the
+    compiled programs' on-device timeline -- the right tool once a step is
+    fused by ``lightgrad_tpu.jit`` and the eager per-op Profiler above can
+    no longer see inside it.
+
+        with light.utils.profiler.device_trace("/tmp/trace"):
+            for _ in range(5):
+                step()
+
+    View with ``tensorboard --logdir /tmp/trace`` (Profile tab).
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False

@@ -902,3 +902,19 @@ def test_cross_entropy_plain_path_unchanged():
     lab = Tensor.from_numpy(labels_np.astype(np.int32), requires_grad=False)
     loss = light.loss.cross_entropy(y, lab)
     np.testing.assert_allclose(loss.item(), ref.item(), rtol=1e-5, atol=1e-6)
+
+
+def test_device_trace_writes_profile(tmp_path):
+    """device_trace captures a compiled step into a TensorBoard profile."""
+    from lightgrad_tpu.utils.profiler import device_trace
+    from lightgrad_tpu.autograd import Tensor
+    import os
+
+    x = Tensor.from_numpy(np.random.uniform(-1, 1, (32, 32)).astype(np.float32),
+                          requires_grad=False)
+    with device_trace(str(tmp_path)):
+        (x @ x).sum().numpy()
+    found = []
+    for root, _, files in os.walk(tmp_path):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, "no profile artifacts written"
