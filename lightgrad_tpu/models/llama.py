@@ -28,7 +28,8 @@ class LlamaConfig:
                  num_hidden_layers=4, num_attention_heads=8,
                  num_key_value_heads=None, max_position_embeddings=2048,
                  rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
-                 scan_layers=False, remat=False, **unused):
+                 scan_layers=False, remat=False, num_local_experts=0,
+                 num_experts_per_tok=2, **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -42,6 +43,16 @@ class LlamaConfig:
         # lax.scan over stacked layer params (lightgrad_tpu/scan.py)
         self.scan_layers = scan_layers
         self.remat = remat
+        # Mixtral-style sparse MoE (HF MixtralConfig field names): every
+        # block's SwiGLU MLP becomes num_local_experts routed experts with
+        # top-(num_experts_per_tok) dispatch.  No capacity drops (Mixtral
+        # semantics): capacity_factor = E/k makes cap = n_tokens.
+        self.num_local_experts = num_local_experts
+        self.num_experts_per_tok = num_experts_per_tok
+        if num_local_experts and scan_layers:
+            raise ValueError(
+                "scan_layers cannot thread per-forward MoE aux state; "
+                "use scan_layers=False with num_local_experts")
 
 
 class RMSNorm(nn.Module):
@@ -147,11 +158,22 @@ class LlamaLayer(nn.Module):
         self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
         self.self_attn = LlamaAttention(cfg)
         self.post_attention_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
-        self.mlp = LlamaMLP(cfg)
+        e = getattr(cfg, "num_local_experts", 0)
+        if e:
+            # Mixtral block: routed SwiGLU experts, softmax-all + top-k
+            # renormalized gates, no capacity drops (cf = E/k -> cap = T)
+            self.block_sparse_moe = nn.MoE(
+                cfg.hidden_size, cfg.intermediate_size, e,
+                dispatch="topk", k=cfg.num_experts_per_tok,
+                capacity_factor=e / cfg.num_experts_per_tok,
+                normalize_gates=True, ffn="swiglu")
+        else:
+            self.mlp = LlamaMLP(cfg)
 
     def forward(self, x):
         x = x + self.self_attn(self.input_layernorm(x))
-        return x + self.mlp(self.post_attention_layernorm(x))
+        ffn = getattr(self, "block_sparse_moe", None) or self.mlp
+        return x + ffn(self.post_attention_layernorm(x))
 
 
 class Llama(nn.Module):
@@ -179,6 +201,19 @@ class Llama(nn.Module):
                 x = layer(x)
         else:
             x = self.layers(x)  # ScannedStack: one lax.scan over the stack
+        # router losses (Mixtral blocks): summed per forward, plain attrs
+        aux = zl = None
+        if isinstance(self.layers, nn.ModuleList):
+            for layer in self.layers:
+                moe = getattr(layer, "block_sparse_moe", None)
+                a = getattr(moe, "aux_loss", None)
+                if a is not None:
+                    aux = a if aux is None else aux + a
+                z = getattr(moe, "z_loss", None)
+                if z is not None:
+                    zl = z if zl is None else zl + z
+        object.__setattr__(self, "aux_loss", aux)
+        object.__setattr__(self, "z_loss", zl)
         x = self.norm(x)
         if self.cfg.tie_word_embeddings:
             return x @ self.embed_tokens.weight.T(1, 0)
@@ -230,6 +265,10 @@ class Llama(nn.Module):
         from .gpt import _NotJaxBacked
 
         cfg = self.cfg
+        if getattr(cfg, "num_local_experts", 0):
+            # the hand-built step program models the dense SwiGLU MLP only;
+            # MoE blocks fall back to the compiled recompute decode path
+            raise _NotJaxBacked("MoE blocks: use_cache decode not modeled")
         H, KV = cfg.num_attention_heads, cfg.num_key_value_heads
         hd = cfg.hidden_size // H
         L, W = cfg.num_hidden_layers, cfg.max_position_embeddings
@@ -350,12 +389,29 @@ class Llama(nn.Module):
     # --- HF interop ---------------------------------------------------------
     @staticmethod
     def remap_hf_state(state: dict) -> dict:
+        import re
+
         out = {}
+        experts = {}  # (layer, which) -> {expert_idx: array}
         for name, arr in state.items():
             name = name.removeprefix("model.")
             if name.endswith(".rotary_emb.inv_freq"):
                 continue  # recomputed
+            m = re.match(
+                r"(layers\.\d+\.block_sparse_moe)\.experts\.(\d+)"
+                r"\.(w[123])\.weight$", name)
+            if m:
+                # HF Mixtral stores per-expert (out, in) Linears; our nn.MoE
+                # holds one stacked (E, in, out) tensor per projection
+                experts.setdefault((m.group(1), m.group(3)), {})[
+                    int(m.group(2))] = np.ascontiguousarray(arr.T)
+                continue
+            name = name.replace(".block_sparse_moe.gate.weight",
+                                ".block_sparse_moe.router.weight")
             out[name] = arr
+        for (prefix, which), by_idx in experts.items():
+            stack = np.stack([by_idx[i] for i in range(len(by_idx))])
+            out[f"{prefix}.{which}"] = stack
         return out
 
     def export_hf_state(self) -> dict:

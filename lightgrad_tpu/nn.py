@@ -497,9 +497,10 @@ class MoE(Module):
     def __init__(self, dim: int, hidden: int, n_experts: int,
                  dispatch: str = "dense", capacity_factor: float = 1.25,
                  k: int = 2, normalize_gates: bool = True,
-                 n_shared: int = 0):
+                 n_shared: int = 0, ffn: str = "gelu"):
         super().__init__()
         assert dispatch in ("dense", "top1", "topk"), dispatch
+        assert ffn in ("gelu", "swiglu"), ffn
         self.n_experts = n_experts
         self.dispatch = dispatch
         self.capacity_factor = capacity_factor
@@ -507,8 +508,12 @@ class MoE(Module):
         assert 1 <= self.k <= n_experts, (self.k, n_experts)
         self.normalize_gates = normalize_gates
         self.router = Linear(dim, n_experts, bias=False)
+        self.ffn = ffn
         self.w1 = _fan_in_uniform((n_experts, dim, hidden), dim)
         self.w2 = _fan_in_uniform((n_experts, hidden, dim), hidden)
+        if ffn == "swiglu":
+            # Mixtral-style experts: w2(silu(w1 x) * w3 x)
+            self.w3 = _fan_in_uniform((n_experts, dim, hidden), dim)
         # DeepSeekMoE-style SHARED experts (arXiv:2401.06066): always-on
         # dense experts added to every token's routed output -- they absorb
         # common knowledge so the routed experts specialize.  Stacked like
@@ -523,10 +528,17 @@ class MoE(Module):
         tb = t.reshape(1, n_tok, dim)
         return ((tb @ self.ws1).gelu() @ self.ws2).sum(axis=0)
 
+    def _experts(self, xe):
+        """Per-expert FFN on stacked input ``(E, n, d)`` -> ``(E, n, d)``."""
+        if self.ffn == "swiglu":
+            g = xe @ self.w1
+            return (g.sigmoid() * g * (xe @ self.w3)) @ self.w2
+        return (xe @ self.w1).gelu() @ self.w2
+
     def _dense(self, t, n_tok, dim):
         gates = self.router(t).softmax(axis=-1)      # (T, E)
         tb = t.reshape(1, n_tok, dim)                # broadcast over experts
-        h = (tb @ self.w1).gelu() @ self.w2          # (E, T, d)
+        h = self._experts(tb)                        # (E, T, d)
         w = gates.T(1, 0).reshape(self.n_experts, n_tok, 1)
         return (h * w).sum(axis=0)                   # (T, d)
 
@@ -611,7 +623,7 @@ class MoE(Module):
 
         # --- expert FFN + combine ------------------------------------------
         xd = disp.T(1, 0) @ t                        # (E*C, d)
-        h = (xd.reshape(n_exp, cap, dim) @ self.w1).gelu() @ self.w2
+        h = self._experts(xd.reshape(n_exp, cap, dim))
         return comb @ h.reshape(n_exp * cap, dim)
 
     def forward(self, x):

@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
            "GPT_TP_RULES", "LLAMA_TP_RULES", "T5_TP_RULES", "MOE_EP_RULES",
-           "GPT_MOE_RULES",
+           "GPT_MOE_RULES", "LLAMA_MOE_RULES",
            "enable_sequence_parallel"]
 
 
@@ -131,6 +131,14 @@ T5_TP_RULES = [
 # attention projections per the usual Megatron TP split.  ep and tp can be
 # the same mesh axis (pure EP: tp=1) or orthogonal axes.
 GPT_MOE_RULES = [
-    (r"moe\.(w1|w2)$", P("ep", None, None)),
+    (r"moe\.(w1|w2|w3)$", P("ep", None, None)),  # shared ws1/ws2 replicate
     (r"moe\.router\.weight$", P()),
 ] + GPT_TP_RULES
+
+# LLaMA-MoE / Mixtral (models/llama.py, LlamaConfig(num_local_experts>0)):
+# routed SwiGLU expert stacks over 'ep', router replicated, the rest per
+# the LLaMA Megatron split.
+LLAMA_MOE_RULES = [
+    (r"block_sparse_moe\.(w1|w2|w3)$", P("ep", None, None)),
+    (r"block_sparse_moe\.router\.weight$", P()),
+] + LLAMA_TP_RULES
