@@ -265,10 +265,6 @@ class Llama(nn.Module):
         from .gpt import _NotJaxBacked
 
         cfg = self.cfg
-        if getattr(cfg, "num_local_experts", 0):
-            # the hand-built step program models the dense SwiGLU MLP only;
-            # MoE blocks fall back to the compiled recompute decode path
-            raise _NotJaxBacked("MoE blocks: use_cache decode not modeled")
         H, KV = cfg.num_attention_heads, cfg.num_key_value_heads
         hd = cfg.hidden_size // H
         L, W = cfg.num_hidden_layers, cfg.max_position_embeddings
@@ -291,6 +287,8 @@ class Llama(nn.Module):
         cos_np, sin_np = _rope_tables(W, hd, cfg.rope_theta)
         cos_w, sin_w = jnp.asarray(cos_np, cdt), jnp.asarray(sin_np, cdt)
         rep = H // KV
+        n_exp = getattr(cfg, "num_local_experts", 0)
+        topk = getattr(cfg, "num_experts_per_tok", 2)
 
         def rms(x, w):
             var = jnp.mean(x * x, axis=-1, keepdims=True)
@@ -323,9 +321,26 @@ class Llama(nn.Module):
                 att = att.transpose(1, 0, 2).reshape(1, H * hd)
                 x = x + att @ p[pre + "self_attn.o_proj.weight"].T
                 h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
-                g = h2 @ p[pre + "mlp.gate_proj.weight"].T
-                u = h2 @ p[pre + "mlp.up_proj.weight"].T
-                x = x + (jax.nn.silu(g) * u) @ p[pre + "mlp.down_proj.weight"].T
+                if n_exp:
+                    # Mixtral routed FFN for ONE token: softmax over all
+                    # experts, top-k gather of the expert stacks, renormalized
+                    # gate mix (same math as nn.MoE's topk path)
+                    rl = (h2 @ p[pre + "block_sparse_moe.router.weight"].T)[0]
+                    pr = jax.nn.softmax(rl.astype(jnp.float32))
+                    gates, idx = jax.lax.top_k(pr, topk)         # (k,)
+                    gates = (gates / gates.sum()).astype(h2.dtype)
+                    w1 = p[pre + "block_sparse_moe.w1"][idx]     # (k, d, ff)
+                    w3 = p[pre + "block_sparse_moe.w3"][idx]
+                    w2 = p[pre + "block_sparse_moe.w2"][idx]     # (k, ff, d)
+                    g = jnp.einsum("td,kdf->ktf", h2, w1)
+                    u = jnp.einsum("td,kdf->ktf", h2, w3)
+                    y = jnp.einsum("ktf,kfd->ktd", jax.nn.silu(g) * u, w2)
+                    x = x + jnp.einsum("k,ktd->td", gates, y)
+                else:
+                    g = h2 @ p[pre + "mlp.gate_proj.weight"].T
+                    u = h2 @ p[pre + "mlp.up_proj.weight"].T
+                    x = x + (jax.nn.silu(g) * u) \
+                        @ p[pre + "mlp.down_proj.weight"].T
             x = rms(x, p["norm.weight"])
             head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
                     else p["lm_head.weight"])

@@ -140,3 +140,24 @@ def test_llama_moe_ep_rules():
     shard_module(m, mesh, LLAMA_MOE_RULES)
     w1 = dict(m.named_parameters())["layers.0.block_sparse_moe.w1"]
     assert {s.data.shape for s in w1.data.addressable_shards} == {(1, 16, 32)}
+
+
+def test_mixtral_compiled_kv_decode_matches_recompute():
+    """The one-token compiled step's routed FFN (top-k gather of expert
+    stacks) produces exactly the recompute path's greedy tokens."""
+    np.random.seed(3)
+    cfg = LlamaConfig(vocab_size=48, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      intermediate_size=48, max_position_embeddings=32,
+                      num_local_experts=4, num_experts_per_tok=2)
+    m = Llama(cfg)
+    ids = [3, 17, 29, 8]
+    want = [int(t) for t in m.generate(ids, max_new_tokens=8,
+                                       use_cache=False)]
+    got = [int(t) for t in m.generate(ids, max_new_tokens=8, use_cache=True)]
+    assert got == want, (got, want)
+
+    # and through the batched vmap lift
+    outs = m.generate_batch([ids, [5, 7]], max_new_tokens=6)
+    single = m.generate([5, 7], max_new_tokens=6, use_cache=True)
+    assert [int(t) for t in outs[1]] == [int(t) for t in single]
