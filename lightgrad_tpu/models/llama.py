@@ -29,7 +29,7 @@ class LlamaConfig:
                  num_key_value_heads=None, max_position_embeddings=2048,
                  rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
                  scan_layers=False, remat=False, num_local_experts=0,
-                 num_experts_per_tok=2, **unused):
+                 num_experts_per_tok=2, attention_bias=False, **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -49,6 +49,10 @@ class LlamaConfig:
         # semantics): capacity_factor = E/k makes cap = n_tokens.
         self.num_local_experts = num_local_experts
         self.num_experts_per_tok = num_experts_per_tok
+        # Qwen2-style attention: q/k/v Linears carry biases (o_proj never
+        # does) -- everything else is the LLaMA recipe, so Qwen2 checkpoints
+        # load through the same family
+        self.attention_bias = attention_bias
         if num_local_experts and scan_layers:
             raise ValueError(
                 "scan_layers cannot thread per-forward MoE aux state; "
@@ -92,9 +96,10 @@ class LlamaAttention(nn.Module):
         self.head_dim = cfg.hidden_size // cfg.num_attention_heads
         self.theta = cfg.rope_theta
         h, kvh = cfg.hidden_size, self.n_kv * self.head_dim
-        self.q_proj = nn.Linear(h, h, bias=False)
-        self.k_proj = nn.Linear(h, kvh, bias=False)
-        self.v_proj = nn.Linear(h, kvh, bias=False)
+        ab = getattr(cfg, "attention_bias", False)
+        self.q_proj = nn.Linear(h, h, bias=ab)
+        self.k_proj = nn.Linear(h, kvh, bias=ab)
+        self.v_proj = nn.Linear(h, kvh, bias=ab)
         self.o_proj = nn.Linear(h, h, bias=False)
 
     def forward(self, x):
@@ -289,6 +294,7 @@ class Llama(nn.Module):
         rep = H // KV
         n_exp = getattr(cfg, "num_local_experts", 0)
         topk = getattr(cfg, "num_experts_per_tok", 2)
+        att_bias = getattr(cfg, "attention_bias", False)
 
         def rms(x, w):
             var = jnp.mean(x * x, axis=-1, keepdims=True)
@@ -306,9 +312,16 @@ class Llama(nn.Module):
             for l in range(L):
                 pre = f"layers.{l}."
                 h = rms(x, p[pre + "input_layernorm.weight"])
-                q = (h @ p[pre + "self_attn.q_proj.weight"].T).reshape(H, 1, hd)
-                k = (h @ p[pre + "self_attn.k_proj.weight"].T).reshape(KV, 1, hd)
-                v = (h @ p[pre + "self_attn.v_proj.weight"].T).reshape(KV, 1, hd)
+                q = h @ p[pre + "self_attn.q_proj.weight"].T
+                k = h @ p[pre + "self_attn.k_proj.weight"].T
+                v = h @ p[pre + "self_attn.v_proj.weight"].T
+                if att_bias:
+                    q = q + p[pre + "self_attn.q_proj.bias"]
+                    k = k + p[pre + "self_attn.k_proj.bias"]
+                    v = v + p[pre + "self_attn.v_proj.bias"]
+                q = q.reshape(H, 1, hd)
+                k = k.reshape(KV, 1, hd)
+                v = v.reshape(KV, 1, hd)
                 q, k = rope1(q, pos), rope1(k, pos)
                 kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
                 vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))

@@ -70,6 +70,7 @@ GPT_TP_RULES = [
 # down and attention output column-parallel; GQA k/v shard like q.
 LLAMA_TP_RULES = [
     (r"(q_proj|k_proj|v_proj)\.weight$", P("tp", None)),
+    (r"(q_proj|k_proj|v_proj)\.bias$", P("tp")),  # Qwen2 attention biases
     (r"(gate_proj|up_proj)\.weight$", P("tp", None)),
     (r"(o_proj|down_proj)\.weight$", P(None, "tp")),
     (r"(embed_tokens|lm_head)\.weight$", P("tp", None)),
