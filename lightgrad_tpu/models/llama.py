@@ -29,7 +29,9 @@ class LlamaConfig:
                  num_key_value_heads=None, max_position_embeddings=2048,
                  rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
                  scan_layers=False, remat=False, num_local_experts=0,
-                 num_experts_per_tok=2, attention_bias=False, **unused):
+                 num_experts_per_tok=2, attention_bias=False, head_dim=None,
+                 hidden_act="silu", rms_offset=False,
+                 scale_embeddings=False, **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -53,6 +55,13 @@ class LlamaConfig:
         # does) -- everything else is the LLaMA recipe, so Qwen2 checkpoints
         # load through the same family
         self.attention_bias = attention_bias
+        # Gemma variants: explicit head_dim (may differ from hidden/heads),
+        # tanh-gelu MLP activation, (1 + w) RMSNorm weights (zero-init
+        # deltas), and sqrt(hidden) embedding scaling
+        self.head_dim = head_dim or hidden_size // num_attention_heads
+        self.hidden_act = hidden_act
+        self.rms_offset = rms_offset
+        self.scale_embeddings = scale_embeddings
         if num_local_experts and scan_layers:
             raise ValueError(
                 "scan_layers cannot thread per-forward MoE aux state; "
@@ -60,14 +69,19 @@ class LlamaConfig:
 
 
 class RMSNorm(nn.Module):
-    def __init__(self, dim: int, eps: float = 1e-5):
+    """``offset=1.0`` is the Gemma convention: the checkpoint stores
+    zero-initialized DELTAS and the effective scale is ``1 + w``."""
+
+    def __init__(self, dim: int, eps: float = 1e-5, offset: float = 0.0):
         super().__init__()
         self.weight = Tensor.ones((dim,))
         self.eps = eps
+        self.offset = offset
 
     def forward(self, x):
         var = (x * x).mean(axis=-1, keepdims=True)
-        return x * (var + self.eps) ** -0.5 * self.weight
+        w = self.weight + self.offset if self.offset else self.weight
+        return x * (var + self.eps) ** -0.5 * w
 
 
 def _rope_tables(seq: int, head_dim: int, theta: float):
@@ -93,14 +107,16 @@ class LlamaAttention(nn.Module):
         super().__init__()
         self.n_heads = cfg.num_attention_heads
         self.n_kv = cfg.num_key_value_heads
-        self.head_dim = cfg.hidden_size // cfg.num_attention_heads
+        self.head_dim = (getattr(cfg, "head_dim", None)
+                         or cfg.hidden_size // cfg.num_attention_heads)
         self.theta = cfg.rope_theta
-        h, kvh = cfg.hidden_size, self.n_kv * self.head_dim
+        h = cfg.hidden_size
+        qh, kvh = self.n_heads * self.head_dim, self.n_kv * self.head_dim
         ab = getattr(cfg, "attention_bias", False)
-        self.q_proj = nn.Linear(h, h, bias=ab)
+        self.q_proj = nn.Linear(h, qh, bias=ab)
         self.k_proj = nn.Linear(h, kvh, bias=ab)
         self.v_proj = nn.Linear(h, kvh, bias=ab)
-        self.o_proj = nn.Linear(h, h, bias=False)
+        self.o_proj = nn.Linear(qh, h, bias=False)
 
     def forward(self, x):
         b, s, h = x.shape
@@ -139,7 +155,8 @@ class LlamaAttention(nn.Module):
             mask = np.triu(np.full((s, s), -1e30, np.float32), k=1)
             scores = scores + type(x).from_numpy(mask, requires_grad=False)
             ctx = scores.softmax(axis=-1) @ v
-        return self.o_proj(ctx.transpose(0, 2, 1, 3).reshape(b, s, h))
+        return self.o_proj(
+            ctx.transpose(0, 2, 1, 3).reshape(b, s, self.n_heads * hd))
 
 
 class LlamaMLP(nn.Module):
@@ -148,21 +165,28 @@ class LlamaMLP(nn.Module):
     def __init__(self, cfg: LlamaConfig):
         super().__init__()
         h, i = cfg.hidden_size, cfg.intermediate_size
+        act = getattr(cfg, "hidden_act", "silu")
+        self.act = ("gelu_tanh" if act in ("gelu", "gelu_pytorch_tanh")
+                    else "silu")
         self.gate_proj = nn.Linear(h, i, bias=False)
         self.up_proj = nn.Linear(h, i, bias=False)
         self.down_proj = nn.Linear(i, h, bias=False)
 
     def forward(self, x):
         g = self.gate_proj(x)
-        return self.down_proj(g.sigmoid() * g * self.up_proj(x))
+        act = g.gelu() if self.act == "gelu_tanh" else g.sigmoid() * g
+        return self.down_proj(act * self.up_proj(x))
 
 
 class LlamaLayer(nn.Module):
     def __init__(self, cfg: LlamaConfig):
         super().__init__()
-        self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        off = 1.0 if getattr(cfg, "rms_offset", False) else 0.0
+        self.input_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                                       offset=off)
         self.self_attn = LlamaAttention(cfg)
-        self.post_attention_layernorm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        self.post_attention_layernorm = RMSNorm(
+            cfg.hidden_size, cfg.rms_norm_eps, offset=off)
         e = getattr(cfg, "num_local_experts", 0)
         if e:
             # Mixtral block: routed SwiGLU experts, softmax-all + top-k
@@ -195,12 +219,16 @@ class Llama(nn.Module):
             self.layers = ScannedStack(blocks, remat=getattr(cfg, "remat", False))
         else:
             self.layers = nn.ModuleList(*blocks)
-        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps)
+        self.norm = RMSNorm(cfg.hidden_size, cfg.rms_norm_eps,
+                            offset=1.0 if getattr(cfg, "rms_offset", False)
+                            else 0.0)
         if not cfg.tie_word_embeddings:
             self.lm_head = nn.Linear(cfg.hidden_size, cfg.vocab_size, bias=False)
 
     def forward(self, input_ids):
         x = self.embed_tokens(input_ids)
+        if getattr(self.cfg, "scale_embeddings", False):
+            x = x * float(self.cfg.hidden_size ** 0.5)
         if isinstance(self.layers, nn.ModuleList):
             for layer in self.layers:
                 x = layer(x)
@@ -271,9 +299,14 @@ class Llama(nn.Module):
 
         cfg = self.cfg
         H, KV = cfg.num_attention_heads, cfg.num_key_value_heads
-        hd = cfg.hidden_size // H
+        hd = getattr(cfg, "head_dim", None) or cfg.hidden_size // H
         L, W = cfg.num_hidden_layers, cfg.max_position_embeddings
         eps = cfg.rms_norm_eps
+        off = 1.0 if getattr(cfg, "rms_offset", False) else 0.0
+        gelu_act = getattr(cfg, "hidden_act", "silu") in (
+            "gelu", "gelu_pytorch_tanh")
+        emb_scale = (float(cfg.hidden_size ** 0.5)
+                     if getattr(cfg, "scale_embeddings", False) else None)
         p = {}
         for name, t in self.named_parameters():
             buf = t.data
@@ -298,7 +331,13 @@ class Llama(nn.Module):
 
         def rms(x, w):
             var = jnp.mean(x * x, axis=-1, keepdims=True)
-            return x * jax.lax.rsqrt(var + eps) * w
+            return x * jax.lax.rsqrt(var + eps) * (w + off if off else w)
+
+        def act(g):
+            if gelu_act:
+                return 0.5 * g * (1 + jnp.tanh(
+                    0.7978845608028654 * (g + 0.044715 * g ** 3)))
+            return jax.nn.silu(g)
 
         def rope1(x, pos):
             # x: (heads, 1, hd) at a single position
@@ -308,6 +347,8 @@ class Llama(nn.Module):
 
         def step(cache, pos, tok):
             x = p["embed_tokens.weight"][tok][None, :]           # (1, d)
+            if emb_scale is not None:
+                x = x * jnp.asarray(emb_scale, x.dtype)
             pos_mask = (jnp.arange(W) <= pos)[None, None, :]
             for l in range(L):
                 pre = f"layers.{l}."
@@ -347,12 +388,12 @@ class Llama(nn.Module):
                     w2 = p[pre + "block_sparse_moe.w2"][idx]     # (k, ff, d)
                     g = jnp.einsum("td,kdf->ktf", h2, w1)
                     u = jnp.einsum("td,kdf->ktf", h2, w3)
-                    y = jnp.einsum("ktf,kfd->ktd", jax.nn.silu(g) * u, w2)
+                    y = jnp.einsum("ktf,kfd->ktd", act(g) * u, w2)
                     x = x + jnp.einsum("k,ktd->td", gates, y)
                 else:
                     g = h2 @ p[pre + "mlp.gate_proj.weight"].T
                     u = h2 @ p[pre + "mlp.up_proj.weight"].T
-                    x = x + (jax.nn.silu(g) * u) \
+                    x = x + (act(g) * u) \
                         @ p[pre + "mlp.down_proj.weight"].T
             x = rms(x, p["norm.weight"])
             head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
