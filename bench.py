@@ -335,6 +335,40 @@ def bench_quant_linear(m=4096, k=4096, n=4096, iters=30, repeats=5):
     return dt_f, vals_f, dt_q, vals_q, flops
 
 
+def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
+                 n_layer=12, n_head=12, vocab=50257, window=256):
+    """Serving decode throughput on GPT-2-small-class weights: single-stream
+    compiled KV decode and the vmap-lifted batched path (tok/s includes the
+    host sampling loop -- the end-to-end serving number, not kernel time)."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=vocab, n_positions=window, n_embd=n_embd,
+                    n_layer=n_layer, n_head=n_head)
+    light.set_device_init(True)
+    try:
+        model = GPT(cfg)
+    finally:
+        light.set_device_init(False)
+    rng = np.random.default_rng(0)
+    prompt = [int(t) for t in rng.integers(0, vocab, prompt_len)]
+
+    model.generate(prompt, max_new_tokens=4, use_cache=True)  # compile
+    t0 = time.time()
+    out = model.generate(prompt, max_new_tokens=new_tokens, use_cache=True)
+    single_s = time.time() - t0
+    assert len(out) == prompt_len + new_tokens
+
+    prompts = [[int(t) for t in rng.integers(0, vocab, prompt_len)]
+               for _ in range(batch)]
+    model.generate_batch(prompts, max_new_tokens=2)  # compile batch fns
+    t0 = time.time()
+    outs = model.generate_batch(prompts, max_new_tokens=new_tokens)
+    batch_s = time.time() - t0
+    n_tok = sum(len(o) - prompt_len for o in outs)
+    return new_tokens / single_s, n_tok / batch_s
+
+
 def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5):
     """End-to-end GPT-2-small-class training step under master-weight AMP
     (bf16 compute, f32 masters): the production configuration.  Reports
@@ -565,6 +599,15 @@ def main():
     err(f"int8 QuantLinear 4096^3: {dt_q*1e3:.3f}ms vs bf16 {dt_f*1e3:.3f}ms "
         f"({details['quant_linear_int8_speedup']}x, "
         f"{details['quant_linear_int8_tflops']} TF/s int8)")
+    checkpoint_results()
+
+    if _over_budget("serving decode stage", est_s=240):
+        return
+    tok_s, btok_s = bench_decode()
+    details["decode_single_tok_s"] = round(tok_s, 1)
+    details["decode_batch8_tok_s"] = round(btok_s, 1)
+    err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
+        f"{btok_s:.0f} tok/s aggregate batch-8")
     checkpoint_results()
 
     # GPT-2 last: the most expensive stage (whole-model compile when the
