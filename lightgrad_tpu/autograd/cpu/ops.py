@@ -154,6 +154,27 @@ class exp(Function):
 
 
 @CpuTensor.register_op()
+class gelu_exact(Function):
+    """Exact erf GELU (torch default).  scipy ships with jax, so the CPU
+    oracle uses scipy.special.erf; the tanh ``gelu`` composite remains the
+    default activation elsewhere."""
+
+    def forward(ctx, a):
+        from scipy.special import erf
+
+        ctx.save_for_backward(a.data)
+        return _t(0.5 * a.data * (1.0 + erf(a.data * 0.7071067811865476)))
+
+    def backward(ctx, g):
+        from scipy.special import erf
+
+        (x,) = ctx.get_saved_tensors()
+        cdf = 0.5 * (1.0 + erf(x * 0.7071067811865476))
+        pdf = 0.3989422804014327 * np.exp(-0.5 * x * x)
+        return _t(g.data * (cdf + x * pdf))
+
+
+@CpuTensor.register_op()
 class log(Function):
     def forward(ctx, a):
         ctx.save_for_backward(a.data)

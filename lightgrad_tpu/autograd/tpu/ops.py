@@ -72,6 +72,13 @@ def _b_relu(g, x): return g * (x > 0).astype(g.dtype)
 def _f_gelu(x):
     # tanh-approximated GELU (BERT variant)
     return 0.5 * x * (1.0 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+def _f_gelu_exact(x):
+    # exact erf GELU (torch's default; HF "gelu"): x/2 * (1 + erf(x/sqrt2))
+    return 0.5 * x * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+def _b_gelu_exact(g, x):
+    cdf = 0.5 * (1.0 + jax.lax.erf(x * 0.7071067811865476))
+    pdf = 0.3989422804014327 * jnp.exp(-0.5 * x * x)
+    return g * (cdf + x * pdf)
 def _b_gelu(g, x):
     u = 0.7978845608028654 * (x + 0.044715 * x * x * x)
     t = jnp.tanh(u)
@@ -129,6 +136,7 @@ _unary("sigmoid", _f_sigmoid, _b_sigmoid, "y")
 _unary("tanh", _f_tanh, _b_tanh, "y")
 _unary("relu", _f_relu, _b_relu, "x")
 _unary("gelu", _f_gelu, _b_gelu, "x")
+_unary("gelu_exact", _f_gelu_exact, _b_gelu_exact, "x")
 
 
 # ---------------------------------------------------------------------------

@@ -5,3 +5,4 @@ from .decoding import beam_search, generate_batch
 from .resnet import ResNet, BasicBlock, resnet20, resnet18
 from .vit import ViTConfig, ViTModel, ViTForImageClassification
 from .t5 import T5Config, T5ForConditionalGeneration
+from .neox import NeoXConfig, NeoX
