@@ -20,7 +20,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
            "GPT_TP_RULES", "LLAMA_TP_RULES", "T5_TP_RULES", "MOE_EP_RULES",
-           "GPT_MOE_RULES", "LLAMA_MOE_RULES",
+           "GPT_MOE_RULES", "LLAMA_MOE_RULES", "NEOX_TP_RULES",
            "enable_sequence_parallel"]
 
 
@@ -113,6 +113,19 @@ def shard_module(module, mesh, rules=BERT_TP_RULES, verbose: bool = False):
 MOE_EP_RULES = [
     (r"(^|\.)w1$", P("ep", None, None)),
     (r"(^|\.)w2$", P("ep", None, None)),
+]
+
+# GPT-NeoX / Pythia (models/neox.py): the fused QKV is per-HEAD packed, so
+# row-sharding it over tp splits whole heads (heads % tp == 0 required);
+# attention.dense and the MLP down-projection are column-parallel.
+NEOX_TP_RULES = [
+    (r"query_key_value\.weight$", P("tp", None)),
+    (r"query_key_value\.bias$", P("tp")),
+    (r"attention\.dense\.weight$", P(None, "tp")),
+    (r"dense_h_to_4h\.weight$", P("tp", None)),
+    (r"dense_h_to_4h\.bias$", P("tp")),
+    (r"dense_4h_to_h\.weight$", P(None, "tp")),
+    (r"(embed_in\.weight|embed_out\.weight)$", P("tp", None)),
 ]
 
 # T5 (models/t5.py): q/k/v and the FFN up-projections (wi / gated wi_0+wi_1)

@@ -110,3 +110,48 @@ def test_neox_hf_export_roundtrip():
         np.testing.assert_allclose(hf(ids).logits.numpy(),
                                    hf2(ids).logits.numpy(),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_neox_tensor_parallel_train_step():
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    from jax.sharding import PartitionSpec as P
+    from lightgrad_tpu.parallel import (make_mesh, shard_module,
+                                        partition_rules, NEOX_TP_RULES)
+
+    assert partition_rules(
+        NEOX_TP_RULES,
+        "layers.0.attention.query_key_value.weight") == P("tp", None)
+    assert partition_rules(
+        NEOX_TP_RULES, "layers.0.attention.dense.weight") == P(None, "tp")
+    assert partition_rules(
+        NEOX_TP_RULES, "layers.0.input_layernorm.weight") == P()
+
+    np.random.seed(1)
+    cfg = NeoXConfig(vocab_size=48, hidden_size=16, intermediate_size=32,
+                     num_hidden_layers=1, num_attention_heads=4,
+                     max_position_embeddings=16, rotary_pct=0.5)
+    m = NeoX(cfg)
+    mesh = make_mesh(dp=2, tp=4)
+    shard_module(m, mesh, NEOX_TP_RULES)
+
+    rng = np.random.default_rng(3)
+    ids_np = rng.integers(0, 48, (4, 8)).astype(np.int32)
+    x = TpuTensor.from_numpy(ids_np, requires_grad=False)
+    y = TpuTensor.from_numpy(np.roll(ids_np, -1, 1).reshape(-1),
+                             requires_grad=False)
+    opt = light.optim.Adam(m.parameters(), lr=5e-3)
+
+    def step():
+        loss = light.loss.cross_entropy(m(x).reshape(-1, 48), y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        return loss
+
+    fn = light.jit(step)
+    first = fn().item()
+    for _ in range(7):
+        last = fn().item()
+    assert np.isfinite(last) and last < first
