@@ -550,17 +550,39 @@ class layernorm(Function):
 
 @TpuTensor.register_op()
 class attention(Function):
-    """Fused scaled-dot-product attention over (..., S, D) q/k/v."""
+    """Fused scaled-dot-product attention over (..., S, D) q/k/v.
 
-    def forward(ctx, q, k, v, scale: float, causal: bool = False):
-        out, lse = kattn_fwd_res(q.data, k.data, v.data, scale, causal=causal)
-        ctx.save_for_backward(q.data, k.data, v.data, out, lse, scale, causal)
+    ``lengths``: optional per-example valid lengths (int tensor or array,
+    one per leading-batch row after broadcasting over heads): right-padded
+    keys are masked inside the flash kernel and padded query rows output
+    zeros -- O(s) memory instead of a materialized (s, s) additive mask.
+    The leading dims of q are (..., S, D); a (batch,) lengths vector is
+    repeated over the remaining leading (head) dims automatically."""
+
+    def forward(ctx, q, k, v, scale: float, causal: bool = False,
+                lengths=None):
+        lens = None
+        if lengths is not None:
+            import numpy as _np
+
+            lens = _raw(lengths)
+            b_flat = 1
+            for n in q.shape[:-2]:
+                b_flat *= n
+            if lens.shape[0] != b_flat:
+                # (batch,) -> one entry per flattened (batch*heads) row
+                lens = jnp.repeat(lens, b_flat // lens.shape[0])
+        out, lse = kattn_fwd_res(q.data, k.data, v.data, scale,
+                                 causal=causal, lengths=lens)
+        ctx.save_for_backward(q.data, k.data, v.data, out, lse, scale,
+                              causal, lens)
         return _t(out)
 
     def backward(ctx, g):
-        qd, kd, vd, out, lse, scale, causal = ctx.get_saved_tensors()
+        qd, kd, vd, out, lse, scale, causal, lens = ctx.get_saved_tensors()
         dq, dk, dv = kattn_bwd(
-            g.data, qd, kd, vd, scale, causal=causal, out=out, lse=lse
+            g.data, qd, kd, vd, scale, causal=causal, out=out, lse=lse,
+            lengths=lens
         )
         return _t(dq), _t(dk), _t(dv)
 

@@ -66,12 +66,19 @@ def _valid_mask(shape, row0, col0, s, causal):
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale, nk, bk, bq, s, causal):
+def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
+                scale, nk, bk, bq, s, causal, have_lens=False):
+    # optional trailing input: per-example valid length (right-padding mask
+    # without materializing scores)
+    if have_lens:
+        lens_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
+    else:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = rest
     # bind program ids OUTSIDE _compute: under the causal pl.when the body
     # traces into a lax.cond branch, where program_id has no lowering rule
     # in interpret mode
     qb, kb = pl.program_id(1), pl.program_id(2)
+    limit = lens_ref[0, 0] if have_lens else s
 
     @pl.when(kb == 0)
     def _():
@@ -81,8 +88,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
     def _compute():
         scores = _dot(q_ref[0], k_ref[0], tb=True) * scale  # (bq, bk)
-        if s % bk != 0 or causal:
-            valid = _valid_mask(scores.shape, qb * bq, kb * bk, s, causal)
+        if s % bk != 0 or causal or have_lens:
+            valid = _valid_mask(scores.shape, qb * bq, kb * bk, limit, causal)
             scores = jnp.where(valid, scores, _NEG_INF)
 
         m_prev = m_ref[...]
@@ -104,8 +111,21 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref,
 
     @pl.when(kb == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])).astype(lse_ref.dtype)
+        if have_lens:
+            # padded query rows saw only -inf scores (l == 0): select zeros
+            # instead of 0/0 NaN, and a well-defined lse of 0
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (bq, 1), 0) + qb * bq
+            ok = row < limit
+            l_safe = jnp.where(l_ref[...] == 0.0, 1.0, l_ref[...])
+            o_ref[0] = jnp.where(ok, acc_ref[...] / l_safe, 0.0
+                                 ).astype(o_ref.dtype)
+            lse_ref[0] = jnp.where(ok, m_ref[...] + jnp.log(l_safe), 0.0
+                                   ).astype(lse_ref.dtype)
+        else:
+            o_ref[0] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+            lse_ref[0] = (m_ref[...] + jnp.log(l_ref[...])
+                          ).astype(lse_ref.dtype)
 
 
 # default flash block shape; overridable per-call (benchmarks/flash_tune.py
@@ -130,25 +150,42 @@ def _attn_blocks(s):
     return bq, min(bk, 2048)
 
 
-def _flash_fwd(q, k, v, scale, causal, vma=None):
+def _lens_spec():
+    """(B,) int32 lengths arrive as a (B, 1) array; one scalar per batch
+    row, broadcast to every (i, j) block pair."""
+    return pl.BlockSpec((1, 1), lambda h, i, j: (h, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None):
     """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1)).
 
     ``vma``: mesh axes the outputs vary over -- required when called inside
-    a vma-checked ``shard_map`` (ring attention blocks)."""
+    a vma-checked ``shard_map`` (ring attention blocks).  ``lengths``:
+    optional (B,) int32 per-example valid lengths (right-padding); padded
+    key columns are masked from every softmax and padded query rows output
+    zeros."""
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
     row = lambda h, i, j: (h, i, 0)
     col = lambda h, i, j: (h, j, 0)
     sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
+    have_lens = lengths is not None
+    in_specs = [
+        pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if have_lens:
+        in_specs.append(_lens_spec())
+        args.append(jnp.asarray(lengths, jnp.int32).reshape(b, 1))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, nk=nk, bk=bk, bq=bq, s=s, causal=causal),
+        functools.partial(_fwd_kernel, scale=scale, nk=nk, bk=bk, bq=bq,
+                          s=s, causal=causal, have_lens=have_lens),
         grid=(b, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bq, 1), row, memory_space=pltpu.VMEM),
@@ -163,7 +200,7 @@ def _flash_fwd(q, k, v, scale, causal, vma=None):
             pltpu.VMEM((bq, d), jnp.float32),
         ],
         interpret=interpret(),
-    )(q, k, v)
+    )(*args)
 
 
 # ---------------------------------------------------------------------------
@@ -227,9 +264,14 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
-                   acc_ref, *, scale, nk, bk, bq, s, causal):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
+                   scale, nk, bk, bq, s, causal, have_lens=False):
+    if have_lens:
+        lens_ref, dq_ref, acc_ref = rest
+    else:
+        dq_ref, acc_ref = rest
     kb = pl.program_id(2)
+    limit = lens_ref[0, 0] if have_lens else s
 
     @pl.when(kb == 0)
     def _():
@@ -240,7 +282,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
         k_blk = _zero_oob_rows(k_blk, kb * bk, s)
         v_blk = _zero_oob_rows(v_blk, kb * bk, s)
     scores = _dot(q_ref[0], k_blk, tb=True) * scale
-    valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, s, causal)
+    valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, limit,
+                        causal)
     p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
     dp = _dot(do_ref[0], v_blk, tb=True)
     ds = p * (dp - dcap_ref[0])
@@ -251,9 +294,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, dq_ref,
         dq_ref[0] = acc_ref[...].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
-                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, nq, bk, bq, s, causal):
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
+                    scale, nq, bk, bq, s, causal, have_lens=False):
+    if have_lens:
+        lens_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        dk_ref, dv_ref, dk_acc, dv_acc = rest
     qb = pl.program_id(2)
+    limit = lens_ref[0, 0] if have_lens else s
 
     @pl.when(qb == 0)
     def _():
@@ -265,7 +313,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
         q_blk = _zero_oob_rows(q_blk, qb * bq, s)
         do_blk = _zero_oob_rows(do_blk, qb * bq, s)
     scores = _dot(q_blk, k_ref[0], tb=True) * scale  # (bq, bk)
-    valid = _valid_mask(scores.shape, qb * bq, pl.program_id(1) * bk, s, causal)
+    valid = _valid_mask(scores.shape, qb * bq, pl.program_id(1) * bk, limit,
+                        causal)
     p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
     dv_acc[...] += _dot(p.astype(do_blk.dtype), do_blk, ta=True)
     dp = _dot(do_blk, v_ref[0], tb=True)
@@ -346,7 +395,8 @@ def set_flash_bwd_blocks(dq=None, dkv=None):
     return prev
 
 
-def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
+def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
+               lengths=None):
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
@@ -357,10 +407,15 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     if dlse is not None:
         dcap = dcap - dlse.astype(jnp.float32)
 
-    if _FUSED_BWD:
+    have_lens = lengths is not None
+    if _FUSED_BWD and not have_lens:
+        # lengths stay on the two-pass scheme (the measured production
+        # winner; the fused A/B variant is kept lengths-free)
         return _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=vma)
 
     sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
+    lens2d = (jnp.asarray(lengths, jnp.int32).reshape(b, 1)
+              if have_lens else None)
 
     bq1, bk1 = _BWD_DQ_BLOCKS or (bq, bk)
     nq1, nk1 = cdiv(s, bq1), cdiv(s, bk1)
@@ -368,16 +423,22 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     col = lambda h, i, j: (h, j, 0)
     row_spec = lambda w: pl.BlockSpec((1, bq1, w), row, memory_space=pltpu.VMEM)
     col_spec = lambda w: pl.BlockSpec((1, bk1, w), col, memory_space=pltpu.VMEM)
+    in_specs = [row_spec(d), col_spec(d), col_spec(d), row_spec(d),
+                row_spec(1), row_spec(1)]
+    args = [q, k, v, g, lse, dcap]
+    if have_lens:
+        in_specs.append(_lens_spec())
+        args.append(lens2d)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk1, bk=bk1, bq=bq1, s=s, causal=causal),
+        functools.partial(_bwd_dq_kernel, scale=scale, nk=nk1, bk=bk1,
+                          bq=bq1, s=s, causal=causal, have_lens=have_lens),
         grid=(b, nq1, nk1),
-        in_specs=[row_spec(d), col_spec(d), col_spec(d), row_spec(d),
-                  row_spec(1), row_spec(1)],
+        in_specs=in_specs,
         out_specs=row_spec(d),
         out_shape=sds((b, s, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((bq1, d), jnp.float32)],
         interpret=interpret(),
-    )(q, k, v, g, lse, dcap)
+    )(*args)
 
     # second pass: swap the roles -- k blocks are resident, q streams
     bq2, bk2 = _BWD_DKV_BLOCKS or (bq, bk)
@@ -386,10 +447,18 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
     kcol = lambda h, j, i: (h, j, 0)
     q_spec = lambda w: pl.BlockSpec((1, bq2, w), krow, memory_space=pltpu.VMEM)
     k_spec = lambda w: pl.BlockSpec((1, bk2, w), kcol, memory_space=pltpu.VMEM)
+    in_specs = [q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1),
+                q_spec(1)]
+    args = [q, k, v, g, lse, dcap]
+    if have_lens:
+        in_specs.append(pl.BlockSpec((1, 1), lambda h, j, i: (h, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lens2d)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2, bk=bk2, bq=bq2, s=s, causal=causal),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2, bk=bk2,
+                          bq=bq2, s=s, causal=causal, have_lens=have_lens),
         grid=(b, nk2, nq2),
-        in_specs=[q_spec(d), k_spec(d), k_spec(d), q_spec(d), q_spec(1), q_spec(1)],
+        in_specs=in_specs,
         out_specs=[k_spec(d), k_spec(d)],
         out_shape=[
             sds((b, s, d), k.dtype),
@@ -400,7 +469,7 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None):
             pltpu.VMEM((bk2, d), jnp.float32),
         ],
         interpret=interpret(),
-    )(q, k, v, g, lse, dcap)
+    )(*args)
     return dq, dk, dv
 
 
@@ -413,7 +482,16 @@ def _causal_mask(s):
     return jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
 
 
-def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False):
+def _len_masks(lengths, b, s):
+    """(b,) lengths -> (col additive mask (b, 1, s), row validity (b, s, 1))."""
+    lens = jnp.asarray(lengths, jnp.int32).reshape(b, 1)
+    col = jnp.where(jnp.arange(s)[None, :] < lens, 0.0, _NEG_INF)
+    row = (jnp.arange(s)[None, :] < lens)[..., None]
+    return col[:, None, :], row
+
+
+def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
+                   lengths=None):
     shape = q.shape  # (..., S, D)
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
@@ -425,32 +503,46 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False):
             # upcast scores -- and through the residual stream the ENTIRE
             # rest of a bf16 model (measured: AMP GPT ran f32 past layer 1)
             scores = scores + _causal_mask(s).astype(scores.dtype)
-        out = jnp.einsum(
-            "bqk,bkd->bqd", jax.nn.softmax(scores, axis=-1), v3,
-            precision=_prec_for(v3),
-        ).reshape(shape)
+        if lengths is not None:
+            colm, rowv = _len_masks(lengths, b, s)
+            scores = scores + colm.astype(scores.dtype)
+        p = jax.nn.softmax(scores, axis=-1)
+        if lengths is not None:
+            # padded query rows softmaxed all -NEG_INF -> NaN: zero them
+            # (same contract as the pallas path)
+            p = jnp.where(rowv, p, 0.0).astype(p.dtype)
+        out = jnp.einsum("bqk,bkd->bqd", p, v3, precision=_prec_for(v3)
+                         ).reshape(shape)
         if not with_res:
             return out
         lse = jax.scipy.special.logsumexp(scores, axis=-1, keepdims=True)
+        if lengths is not None:
+            lse = jnp.where(rowv, lse, 0.0)
         return out, lse
-    out, lse = _flash_fwd(q3, k3, v3, scale, causal)
+    out, lse = _flash_fwd(q3, k3, v3, scale, causal, lengths=lengths)
     return (out.reshape(shape), lse) if with_res else out.reshape(shape)
 
 
-def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False):
+def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False,
+                   lengths=None):
     shape = q.shape
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
     g3, q3, k3, v3 = (x.reshape(b, s, d) for x in (g, q, k, v))
     if mode == "pallas" and out is not None and lse is not None:
         dq, dk, dv = _flash_bwd(g3, q3, k3, v3, out.reshape(b, s, d), lse,
-                                scale, causal)
+                                scale, causal, lengths=lengths)
         return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
     # recompute path (one fused XLA program)
     scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
     if causal:
         scores = scores + _causal_mask(s).astype(scores.dtype)
+    if lengths is not None:
+        colm, rowv = _len_masks(lengths, b, s)
+        scores = scores + colm.astype(scores.dtype)
     p = jax.nn.softmax(scores, axis=-1)
+    if lengths is not None:
+        p = jnp.where(rowv, p, 0.0).astype(p.dtype)
     dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_prec_for(g3))
     dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_prec_for(g3, v3))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
@@ -460,7 +552,7 @@ def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(which, scale, mode, causal):
+def _build(which, scale, mode, causal, have_lens=False):
     if which == "bwd":
         impl = functools.partial(_attn_bwd_impl, scale=scale, mode=mode, causal=causal)
     else:
@@ -505,22 +597,69 @@ def _attn_res_bwd(scale, causal, mode, res, cts):
 _attn_res.defvjp(_attn_res_fwd, _attn_res_bwd)
 
 
-def attention_fwd(q, k, v, scale: float, causal: bool = False):
+def attention_fwd(q, k, v, scale: float, causal: bool = False,
+                  lengths=None):
     mode = resolve_mode("attention", seq=q.shape[-2])
-    return _build("fwd", float(scale), mode, causal)(q, k, v)
+    return _build("fwd", float(scale), mode, causal,
+                  lengths is not None)(q, k, v, lengths=lengths)
 
 
-def attention_fwd_res(q, k, v, scale: float, causal: bool = False):
+def attention_fwd_res(q, k, v, scale: float, causal: bool = False,
+                      lengths=None):
     """Forward returning (out, lse) -- residuals for the flash backward.
-    Differentiable under jax.vjp (custom VJP above)."""
+    Differentiable under jax.vjp (custom VJP above).  ``lengths``: optional
+    (B,) int32 per-example valid lengths (right-padded batches; no-grad)."""
     mode = resolve_mode("attention", seq=q.shape[-2])
+    if lengths is not None:
+        return _attn_res_lens(q, k, v, jnp.asarray(lengths, jnp.int32),
+                              float(scale), causal, mode)
     return _attn_res(q, k, v, float(scale), causal, mode)
 
 
+# lengths-aware twin of _attn_res: lengths is a (non-differentiable) ARRAY
+# argument, so it rides as a primal input whose cotangent is float0
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attn_res_lens(q, k, v, lengths, scale, causal, mode):
+    return _build("fwd_res", scale, mode, causal, True)(
+        q, k, v, lengths=lengths)
+
+
+def _attn_res_lens_fwd(q, k, v, lengths, scale, causal, mode):
+    out, lse = _build("fwd_res", scale, mode, causal, True)(
+        q, k, v, lengths=lengths)
+    return (out, lse), (q, k, v, lengths, out, lse)
+
+
+def _attn_res_lens_bwd(scale, causal, mode, res, cts):
+    import numpy as _np
+
+    q, k, v, lengths, out, lse = res
+    g, glse = cts
+    dlens = _np.zeros(lengths.shape, dtype=jax.dtypes.float0)
+    if mode == "pallas":
+        shape = q.shape
+        s, d = shape[-2], shape[-1]
+        b = prod(shape[:-2])
+        dq, dk, dv = _flash_bwd(
+            g.astype(q.dtype).reshape(b, s, d), q.reshape(b, s, d),
+            k.reshape(b, s, d), v.reshape(b, s, d), out.reshape(b, s, d),
+            lse.reshape(b, s, 1), scale, causal,
+            dlse=glse.reshape(b, s, 1), lengths=lengths)
+        return (dq.reshape(shape), dk.reshape(shape), dv.reshape(shape),
+                dlens)
+    dq, dk, dv = _build("bwd", scale, mode, causal, True)(
+        g, q, k, v, out, lse, lengths=lengths)
+    return dq, dk, dv, dlens
+
+
+_attn_res_lens.defvjp(_attn_res_lens_fwd, _attn_res_lens_bwd)
+
+
 def attention_bwd(g, q, k, v, scale: float, causal: bool = False,
-                  out=None, lse=None):
+                  out=None, lse=None, lengths=None):
     mode = resolve_mode("attention", seq=q.shape[-2])
-    return _build("bwd", float(scale), mode, causal)(g, q, k, v, out, lse)
+    return _build("bwd", float(scale), mode, causal,
+                  lengths is not None)(g, q, k, v, out, lse, lengths=lengths)
 
 
 # ---------------------------------------------------------------------------

@@ -281,3 +281,96 @@ def test_flash_attention_bf16():
     )(g, q, k, v, out, lse)
     assert dq.dtype == jnp.bfloat16
     assert all(np.isfinite(np.asarray(x, np.float32)).all() for x in (dq, dk, dv))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("mode", ["pallas", "xla"])
+def test_flash_attention_with_lengths(mode, causal):
+    """Per-example valid lengths (right padding) inside the flash kernel:
+    fwd + all three grads match a materialized additive-mask oracle, with
+    padded query rows outputting exactly zero."""
+    import jax
+    import jax.numpy as jnp
+    from lightgrad_tpu.ops import runtime
+    from lightgrad_tpu.ops.attention import attention_fwd_res
+
+    rng = np.random.default_rng(0)
+    b, s, d = 3, 40, 16  # s % default bk != 0: exercises OOB + lens masking
+    q, k, v = (jnp.asarray(rng.normal(0, 0.5, (b, s, d)).astype(np.float32))
+               for _ in range(3))
+    lens = jnp.asarray([40, 17, 5], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+
+    def oracle(q, k, v):
+        scores = jnp.einsum("bqd,bkd->bqk", q, k) * scale
+        colm = jnp.where(jnp.arange(s)[None, :] < lens[:, None], 0.0, -1e30)
+        scores = scores + colm[:, None, :]
+        if causal:
+            cm = jnp.where(jnp.arange(s)[None, :] <= jnp.arange(s)[:, None],
+                           0.0, -1e30)
+            scores = scores + cm
+        p = jax.nn.softmax(scores, axis=-1)
+        rowv = (jnp.arange(s)[None, :] < lens[:, None])[..., None]
+        return jnp.where(rowv, jnp.einsum("bqk,bkd->bqd", p, v), 0.0)
+
+    prev = runtime.set_kernel_mode(mode)
+    try:
+        def f(q, k, v):
+            out, _ = attention_fwd_res(q, k, v, scale, causal=causal,
+                                       lengths=lens)
+            return out
+
+        out = f(q, k, v)
+        want = oracle(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+        # padded rows exactly zero
+        assert np.abs(np.asarray(out)[1, 17:]).max() == 0.0
+        assert np.abs(np.asarray(out)[2, 5:]).max() == 0.0
+
+        cot = jnp.asarray(rng.normal(0, 1, (b, s, d)).astype(np.float32))
+        g = jax.grad(lambda *a: jnp.sum(f(*a) * cot), argnums=(0, 1, 2))
+        gw = jax.grad(lambda *a: jnp.sum(oracle(*a) * cot), argnums=(0, 1, 2))
+        for got, want, name in zip(g(q, k, v), gw(q, k, v), "qkv"):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=3e-4, atol=3e-5, err_msg=name)
+    finally:
+        runtime.set_kernel_mode(prev)
+
+
+def test_tape_attention_lengths_matches_masked_path():
+    """The tape-level attention op with lengths == BERT's materialized
+    additive-mask path, through fwd AND backward (grads on q/k/v)."""
+    import jax.numpy as jnp
+    from lightgrad_tpu.autograd import TpuTensor
+
+    rng = np.random.default_rng(1)
+    b, h, s, d = 2, 3, 24, 8
+    mk = lambda: TpuTensor.from_numpy(
+        rng.normal(0, 0.5, (b, h, s, d)).astype(np.float32))
+    q1, k1, v1 = mk(), mk(), mk()
+    lens_np = np.asarray([24, 9], np.int32)
+    lens = TpuTensor.from_numpy(lens_np, requires_grad=False)
+    scale = 1.0 / np.sqrt(d)
+
+    out = q1.attention(k1, v1, scale=scale, lengths=lens)
+    (out * out).sum().backward()
+
+    q2 = TpuTensor.from_numpy(q1.numpy())
+    k2 = TpuTensor.from_numpy(k1.numpy())
+    v2 = TpuTensor.from_numpy(v1.numpy())
+    colm = np.where(np.arange(s)[None, :] < lens_np[:, None], 0.0, -1e30)
+    mask = TpuTensor.from_numpy(
+        colm[:, None, None, :].astype(np.float32), requires_grad=False)
+    scores = (q2 @ k2.transpose(0, 1, 3, 2)) * scale + mask
+    probs = scores.softmax(axis=-1)
+    ref = probs @ v2
+    # zero the padded query rows like the kernel does
+    rowv = (np.arange(s)[None, :] < lens_np[:, None])[:, None, :, None]
+    ref = ref * TpuTensor.from_numpy(rowv.astype(np.float32),
+                                     requires_grad=False)
+    np.testing.assert_allclose(out.numpy(), ref.numpy(), rtol=2e-4, atol=2e-5)
+    (ref * ref).sum().backward()
+    for a, b_ in ((q1, q2), (k1, k2), (v1, v2)):
+        np.testing.assert_allclose(a.grad.numpy(), b_.grad.numpy(),
+                                   rtol=3e-4, atol=3e-5)
