@@ -74,7 +74,8 @@ class BertSelfAttention(nn.Module):
         # (b, s, h) -> (b, heads, s, head_dim)
         return x.reshape(b, s, self.n_heads, self.head_dim).transpose(0, 2, 1, 3)
 
-    def forward(self, x, mask=None, output_attentions: bool = False):
+    def forward(self, x, mask=None, output_attentions: bool = False,
+                lengths=None):
         """``output_attentions=True`` materializes and returns the softmax
         probabilities alongside the context -- the reference's
         ``BertSelfAttention.forward`` return contract (reference
@@ -97,6 +98,14 @@ class BertSelfAttention(nn.Module):
             probs = scores.softmax(axis=-1)
             ctx = probs @ v
             return ctx.transpose(0, 2, 1, 3).reshape(b, s, h), probs
+        if lengths is not None and hasattr(q, "attention"):
+            # right-padding handled INSIDE the flash kernel: O(s) memory,
+            # no materialized additive mask (ops/attention.py lengths path).
+            # Padded QUERY rows output zeros (vs the additive-mask path,
+            # where they attend valid keys) -- downstream values at padded
+            # positions are meaningless either way.
+            ctx = q.attention(k, v, scale=scale, lengths=lengths)
+            return ctx.transpose(0, 2, 1, 3).reshape(b, s, h)
         sp = getattr(self, "_sequence_parallel", None)
         if mask is None and sp is not None and hasattr(q, "ring_attention"):
             # sequence-parallel ring attention: K/V chunks stay sharded on
@@ -126,8 +135,9 @@ class BertAttention(nn.Module):
         self.dense = nn.Linear(cfg.hidden_size, cfg.hidden_size)
         self.LayerNorm = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
 
-    def forward(self, x, mask=None):
-        return self.LayerNorm(self.dense(self.self(x, mask)) + x)
+    def forward(self, x, mask=None, lengths=None):
+        return self.LayerNorm(
+            self.dense(self.self(x, mask, lengths=lengths)) + x)
 
 
 class BertLayer(nn.Module):
@@ -138,8 +148,8 @@ class BertLayer(nn.Module):
         self.output = nn.Linear(cfg.intermediate_size, cfg.hidden_size)
         self.LayerNorm = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
 
-    def forward(self, x, mask=None):
-        a = self.attention(x, mask)
+    def forward(self, x, mask=None, lengths=None):
+        a = self.attention(x, mask, lengths=lengths)
         return self.LayerNorm(self.output(self.intermediate(a).gelu()) + a)
 
 
@@ -156,9 +166,15 @@ class BertModel(nn.Module):
         else:
             self.layer = nn.ModuleList(*blocks)
 
-    def forward(self, input_ids, attention_mask=None, token_type_ids=None):
+    def forward(self, input_ids, attention_mask=None, token_type_ids=None,
+                attention_lengths=None):
+        """``attention_lengths``: right-padded batches as per-example valid
+        lengths -- masked inside the flash kernel (O(s) memory) instead of
+        the materialized additive ``attention_mask``.  Use one or the
+        other."""
         mask = None
         if attention_mask is not None:
+            assert attention_lengths is None, "pass mask OR lengths, not both"
             # additive mask: 0 where attended, -1e9 where padded
             mask = (1.0 - attention_mask.reshape(
                 attention_mask.shape[0], 1, 1, attention_mask.shape[1]
@@ -166,7 +182,7 @@ class BertModel(nn.Module):
         x = self.embeddings(input_ids, token_type_ids)
         if isinstance(self.layer, nn.ModuleList):
             for layer in self.layer:
-                x = layer(x, mask)
+                x = layer(x, mask, lengths=attention_lengths)
         else:
             x = self.layer(x, mask)  # ScannedStack: mask broadcast per layer
         return x
@@ -181,8 +197,10 @@ class BertForMaskedLM(nn.Module):
         self.transform_ln = nn.LayerNorm(cfg.hidden_size, eps=cfg.layer_norm_eps)
         self.decoder = nn.Linear(cfg.hidden_size, cfg.vocab_size)
 
-    def forward(self, input_ids, attention_mask=None, token_type_ids=None):
-        x = self.bert(input_ids, attention_mask, token_type_ids)
+    def forward(self, input_ids, attention_mask=None, token_type_ids=None,
+                attention_lengths=None):
+        x = self.bert(input_ids, attention_mask, token_type_ids,
+                      attention_lengths=attention_lengths)
         x = self.transform_ln(self.transform(x).gelu())
         return self.decoder(x)
 

@@ -134,3 +134,30 @@ def test_output_attentions_escape_hatch():
     p = probs.numpy()
     assert p.shape == (2, 4, 8, 8)
     np.testing.assert_allclose(p.sum(-1), np.ones((2, 4, 8)), rtol=1e-5)
+
+
+def test_bert_attention_lengths_matches_mask():
+    """attention_lengths (in-kernel padding) == attention_mask (additive)
+    at every VALID position; padded positions are meaningless in both."""
+    from lightgrad_tpu.models import BertConfig, BertForMaskedLM
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(0)
+    cfg = BertConfig(vocab_size=64, hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=64,
+                     max_position_embeddings=16)
+    model = BertForMaskedLM(cfg)
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 64, (3, 12)).astype(np.int32)
+    lens = np.asarray([12, 7, 3], np.int32)
+    am = (np.arange(12)[None, :] < lens[:, None]).astype(np.int32)
+
+    x = TpuTensor.from_numpy(ids, requires_grad=False)
+    with_mask = model(x, attention_mask=TpuTensor.from_numpy(
+        am, requires_grad=False)).numpy()
+    with_lens = model(x, attention_lengths=TpuTensor.from_numpy(
+        lens, requires_grad=False)).numpy()
+    for i, L in enumerate(lens):
+        np.testing.assert_allclose(with_lens[i, :L], with_mask[i, :L],
+                                   rtol=2e-4, atol=2e-4)
