@@ -560,7 +560,7 @@ class attention(Function):
     repeated over the remaining leading (head) dims automatically."""
 
     def forward(ctx, q, k, v, scale: float, causal: bool = False,
-                lengths=None):
+                lengths=None, window: int = 0):
         lens = None
         if lengths is not None:
             import numpy as _np
@@ -573,16 +573,17 @@ class attention(Function):
                 # (batch,) -> one entry per flattened (batch*heads) row
                 lens = jnp.repeat(lens, b_flat // lens.shape[0])
         out, lse = kattn_fwd_res(q.data, k.data, v.data, scale,
-                                 causal=causal, lengths=lens)
+                                 causal=causal, lengths=lens, window=window)
         ctx.save_for_backward(q.data, k.data, v.data, out, lse, scale,
-                              causal, lens)
+                              causal, lens, window)
         return _t(out)
 
     def backward(ctx, g):
-        qd, kd, vd, out, lse, scale, causal, lens = ctx.get_saved_tensors()
+        (qd, kd, vd, out, lse, scale, causal, lens,
+         window) = ctx.get_saved_tensors()
         dq, dk, dv = kattn_bwd(
             g.data, qd, kd, vd, scale, causal=causal, out=out, lse=lse,
-            lengths=lens
+            lengths=lens, window=window
         )
         return _t(dq), _t(dk), _t(dv)
 

@@ -31,7 +31,8 @@ class LlamaConfig:
                  scan_layers=False, remat=False, num_local_experts=0,
                  num_experts_per_tok=2, attention_bias=False, head_dim=None,
                  hidden_act="silu", rms_offset=False,
-                 scale_embeddings=False, **unused):
+                 scale_embeddings=False, sliding_window=None,
+                 use_sliding_window=True, **unused):
         self.vocab_size = vocab_size
         self.hidden_size = hidden_size
         self.intermediate_size = intermediate_size
@@ -62,6 +63,13 @@ class LlamaConfig:
         self.hidden_act = hidden_act
         self.rms_offset = rms_offset
         self.scale_embeddings = scale_embeddings
+        # Mistral-style sliding-window attention: position i attends to keys
+        # in [i-W+1, i], masked inside the flash kernel (band block-skip).
+        # Qwen2 checkpoints carry sliding_window but use_sliding_window=False
+        # (HF semantics: the field is inert unless enabled).
+        self.sliding_window = (int(sliding_window)
+                               if sliding_window and use_sliding_window
+                               else None)
         if num_local_experts and scan_layers:
             raise ValueError(
                 "scan_layers cannot thread per-forward MoE aux state; "
@@ -117,6 +125,7 @@ class LlamaAttention(nn.Module):
         self.k_proj = nn.Linear(h, kvh, bias=ab)
         self.v_proj = nn.Linear(h, kvh, bias=ab)
         self.o_proj = nn.Linear(qh, h, bias=False)
+        self.sliding_window = getattr(cfg, "sliding_window", None)
 
     def forward(self, x):
         b, s, h = x.shape
@@ -140,19 +149,29 @@ class LlamaAttention(nn.Module):
             v = v[:, idx]
 
         scale = 1.0 / np.sqrt(hd)
+        # sliding window is a no-op when the sequence fits inside it
+        win = self.sliding_window
+        win = int(win) if win and win < s else 0
         sp = getattr(self, "_sequence_parallel", None)
         if sp is not None and hasattr(q, "ring_attention"):
             # sequence-parallel ring attention; RoPE was applied on the
             # global sequence above, so sharded chunks carry true positions
             # (GQA repeat already expanded K/V to full head count)
+            if win:
+                raise NotImplementedError(
+                    "ring attention + sliding window not supported; run "
+                    "sliding-window models without sequence parallelism")
             mesh, axis, batch_axis = sp
             ctx = q.ring_attention(k, v, scale=scale, mesh=mesh, axis=axis,
                                    causal=True, batch_axis=batch_axis)
         elif hasattr(q, "attention"):
-            ctx = q.attention(k, v, scale=scale, causal=True)
+            ctx = q.attention(k, v, scale=scale, causal=True, window=win)
         else:
             scores = (q @ k.transpose(0, 1, 3, 2)) * scale
             mask = np.triu(np.full((s, s), -1e30, np.float32), k=1)
+            if win:
+                mask = mask + np.tril(
+                    np.full((s, s), -1e30, np.float32), k=-win)
             scores = scores + type(x).from_numpy(mask, requires_grad=False)
             ctx = scores.softmax(axis=-1) @ v
         return self.o_proj(
@@ -345,11 +364,17 @@ class Llama(nn.Module):
             x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
             return x * c + jnp.concatenate([-x2, x1], axis=-1) * s_
 
+        swin = getattr(cfg, "sliding_window", None)
+
         def step(cache, pos, tok):
             x = p["embed_tokens.weight"][tok][None, :]           # (1, d)
             if emb_scale is not None:
                 x = x * jnp.asarray(emb_scale, x.dtype)
             pos_mask = (jnp.arange(W) <= pos)[None, None, :]
+            if swin:
+                # sliding window: only the last `swin` positions are visible
+                pos_mask = jnp.logical_and(
+                    pos_mask, (jnp.arange(W) > pos - swin)[None, None, :])
             for l in range(L):
                 pre = f"layers.{l}."
                 h = rms(x, p[pre + "input_layernorm.weight"])
@@ -522,6 +547,9 @@ class Llama(nn.Module):
             "rope_theta": self.cfg.rope_theta,
             "tie_word_embeddings": self.cfg.tie_word_embeddings,
         }
+        if getattr(self.cfg, "sliding_window", None):
+            cfg["model_type"] = "mistral"
+            cfg["sliding_window"] = self.cfg.sliding_window
         with open(os.path.join(directory, "config.json"), "w") as f:
             json.dump(cfg, f, indent=1)
         return path

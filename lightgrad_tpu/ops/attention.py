@@ -53,21 +53,39 @@ def _zero_oob_rows(x, off, s):
     return jnp.where(idx < s, x, jnp.zeros_like(x))
 
 
-def _valid_mask(shape, row0, col0, s, causal):
-    """(bq, bk) validity: inside the sequence and (optionally) causal."""
+def _valid_mask(shape, row0, col0, s, causal, window=0):
+    """(bq, bk) validity: inside the sequence, (optionally) causal, and
+    (optionally) inside a sliding window -- HF Mistral semantics: position
+    ``row`` attends to keys with ``0 <= row - col < window`` (``window``
+    attended positions including self).  ``window=0`` disables banding."""
     row = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + row0
     col = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + col0
     valid = jnp.logical_and(row < s, col < s)
     if causal:
         valid = jnp.logical_and(valid, col <= row)
+    if window:
+        valid = jnp.logical_and(valid, row - col < window)
     return valid
+
+
+def _pair_relevant(qb, bq, kb, bk, causal, window):
+    """Whether the (q block, k block) pair has ANY unmasked cell -- the
+    block-skip predicate.  Above-diagonal blocks are dead under causal;
+    blocks entirely below the band are dead under a sliding window."""
+    rel = None
+    if causal:
+        rel = kb * bk <= (qb + 1) * bq - 1
+    if window:
+        in_band = (kb + 1) * bk - 1 >= qb * bq - (window - 1)
+        rel = in_band if rel is None else jnp.logical_and(rel, in_band)
+    return rel
 
 
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
-                scale, nk, bk, bq, s, causal, have_lens=False):
+                scale, nk, bk, bq, s, causal, have_lens=False, window=0):
     # optional trailing input: per-example valid length (right-padding mask
     # without materializing scores)
     if have_lens:
@@ -88,8 +106,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
 
     def _compute():
         scores = _dot(q_ref[0], k_ref[0], tb=True) * scale  # (bq, bk)
-        if s % bk != 0 or causal or have_lens:
-            valid = _valid_mask(scores.shape, qb * bq, kb * bk, limit, causal)
+        if s % bk != 0 or causal or have_lens or window:
+            valid = _valid_mask(scores.shape, qb * bq, kb * bk, limit, causal,
+                                window)
             scores = jnp.where(valid, scores, _NEG_INF)
 
         m_prev = m_ref[...]
@@ -103,9 +122,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
         acc_ref[...] = acc_ref[...] * alpha + _dot(p.astype(v_blk.dtype), v_blk)
         m_ref[...] = m_new
 
-    if causal:
-        # fully-above-diagonal k blocks contribute nothing: skip the pair
-        pl.when(kb * bk <= (qb + 1) * bq - 1)(_compute)
+    if causal or window:
+        # fully-above-diagonal (causal) and fully-below-band (window) k
+        # blocks contribute nothing: skip the pair
+        pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
     else:
         _compute()
 
@@ -157,7 +177,7 @@ def _lens_spec():
                         memory_space=pltpu.VMEM)
 
 
-def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None):
+def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None, window=0):
     """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1)).
 
     ``vma``: mesh axes the outputs vary over -- required when called inside
@@ -183,7 +203,8 @@ def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None):
         args.append(jnp.asarray(lengths, jnp.int32).reshape(b, 1))
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, nk=nk, bk=bk, bq=bq,
-                          s=s, causal=causal, have_lens=have_lens),
+                          s=s, causal=causal, have_lens=have_lens,
+                          window=window),
         grid=(b, nq, nk),
         in_specs=in_specs,
         out_specs=[
@@ -265,29 +286,37 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref,
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
-                   scale, nk, bk, bq, s, causal, have_lens=False):
+                   scale, nk, bk, bq, s, causal, have_lens=False, window=0):
     if have_lens:
         lens_ref, dq_ref, acc_ref = rest
     else:
         dq_ref, acc_ref = rest
-    kb = pl.program_id(2)
+    qb, kb = pl.program_id(1), pl.program_id(2)
     limit = lens_ref[0, 0] if have_lens else s
 
     @pl.when(kb == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    k_blk, v_blk = k_ref[0], v_ref[0]
-    if s % bk != 0:
-        k_blk = _zero_oob_rows(k_blk, kb * bk, s)
-        v_blk = _zero_oob_rows(v_blk, kb * bk, s)
-    scores = _dot(q_ref[0], k_blk, tb=True) * scale
-    valid = _valid_mask(scores.shape, pl.program_id(1) * bq, kb * bk, limit,
-                        causal)
-    p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
-    dp = _dot(do_ref[0], v_blk, tb=True)
-    ds = p * (dp - dcap_ref[0])
-    acc_ref[...] += _dot(ds.astype(k_blk.dtype), k_blk) * scale
+    def _compute():
+        k_blk, v_blk = k_ref[0], v_ref[0]
+        if s % bk != 0:
+            k_blk = _zero_oob_rows(k_blk, kb * bk, s)
+            v_blk = _zero_oob_rows(v_blk, kb * bk, s)
+        scores = _dot(q_ref[0], k_blk, tb=True) * scale
+        valid = _valid_mask(scores.shape, qb * bq, kb * bk, limit,
+                            causal, window)
+        p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
+        dp = _dot(do_ref[0], v_blk, tb=True)
+        ds = p * (dp - dcap_ref[0])
+        acc_ref[...] += _dot(ds.astype(k_blk.dtype), k_blk) * scale
+
+    if causal or window:
+        # all-masked pairs (above diagonal / below band) add nothing to the
+        # dq accumulator: skip the 3 GEMMs (same trick as the forward)
+        pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
+    else:
+        _compute()
 
     @pl.when(kb == nk - 1)
     def _():
@@ -295,12 +324,12 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
-                    scale, nq, bk, bq, s, causal, have_lens=False):
+                    scale, nq, bk, bq, s, causal, have_lens=False, window=0):
     if have_lens:
         lens_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
         dk_ref, dv_ref, dk_acc, dv_acc = rest
-    qb = pl.program_id(2)
+    kb, qb = pl.program_id(1), pl.program_id(2)
     limit = lens_ref[0, 0] if have_lens else s
 
     @pl.when(qb == 0)
@@ -308,18 +337,24 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    q_blk, do_blk = q_ref[0], do_ref[0]
-    if s % bq != 0:
-        q_blk = _zero_oob_rows(q_blk, qb * bq, s)
-        do_blk = _zero_oob_rows(do_blk, qb * bq, s)
-    scores = _dot(q_blk, k_ref[0], tb=True) * scale  # (bq, bk)
-    valid = _valid_mask(scores.shape, qb * bq, pl.program_id(1) * bk, limit,
-                        causal)
-    p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
-    dv_acc[...] += _dot(p.astype(do_blk.dtype), do_blk, ta=True)
-    dp = _dot(do_blk, v_ref[0], tb=True)
-    ds = jnp.where(valid, p * (dp - dcap_ref[0]), 0.0)
-    dk_acc[...] += _dot(ds.astype(q_blk.dtype), q_blk, ta=True) * scale
+    def _compute():
+        q_blk, do_blk = q_ref[0], do_ref[0]
+        if s % bq != 0:
+            q_blk = _zero_oob_rows(q_blk, qb * bq, s)
+            do_blk = _zero_oob_rows(do_blk, qb * bq, s)
+        scores = _dot(q_blk, k_ref[0], tb=True) * scale  # (bq, bk)
+        valid = _valid_mask(scores.shape, qb * bq, kb * bk, limit,
+                            causal, window)
+        p = jnp.where(valid, jnp.exp(scores - lse_ref[0]), 0.0)
+        dv_acc[...] += _dot(p.astype(do_blk.dtype), do_blk, ta=True)
+        dp = _dot(do_blk, v_ref[0], tb=True)
+        ds = jnp.where(valid, p * (dp - dcap_ref[0]), 0.0)
+        dk_acc[...] += _dot(ds.astype(q_blk.dtype), q_blk, ta=True) * scale
+
+    if causal or window:
+        pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
+    else:
+        _compute()
 
     @pl.when(qb == nq - 1)
     def _():
@@ -396,7 +431,7 @@ def set_flash_bwd_blocks(dq=None, dkv=None):
 
 
 def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
-               lengths=None):
+               lengths=None, window=0):
     b, s, d = q.shape
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
@@ -408,9 +443,9 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
         dcap = dcap - dlse.astype(jnp.float32)
 
     have_lens = lengths is not None
-    if _FUSED_BWD and not have_lens:
-        # lengths stay on the two-pass scheme (the measured production
-        # winner; the fused A/B variant is kept lengths-free)
+    if _FUSED_BWD and not have_lens and not window:
+        # lengths/window stay on the two-pass scheme (the measured
+        # production winner; the fused A/B variant is kept plain)
         return _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=vma)
 
     sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
@@ -431,7 +466,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
         args.append(lens2d)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, nk=nk1, bk=bk1,
-                          bq=bq1, s=s, causal=causal, have_lens=have_lens),
+                          bq=bq1, s=s, causal=causal, have_lens=have_lens,
+                          window=window),
         grid=(b, nq1, nk1),
         in_specs=in_specs,
         out_specs=row_spec(d),
@@ -456,7 +492,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
         args.append(lens2d)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2, bk=bk2,
-                          bq=bq2, s=s, causal=causal, have_lens=have_lens),
+                          bq=bq2, s=s, causal=causal, have_lens=have_lens,
+                          window=window),
         grid=(b, nk2, nq2),
         in_specs=in_specs,
         out_specs=[k_spec(d), k_spec(d)],
@@ -476,10 +513,13 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
 # ---------------------------------------------------------------------------
 # mode dispatch
 # ---------------------------------------------------------------------------
-def _causal_mask(s):
+def _causal_mask(s, window=0):
     row = jnp.arange(s)[:, None]
     col = jnp.arange(s)[None, :]
-    return jnp.where(col <= row, 0.0, _NEG_INF).astype(jnp.float32)
+    ok = col <= row
+    if window:
+        ok = jnp.logical_and(ok, row - col < window)
+    return jnp.where(ok, 0.0, _NEG_INF).astype(jnp.float32)
 
 
 def _len_masks(lengths, b, s):
@@ -491,7 +531,7 @@ def _len_masks(lengths, b, s):
 
 
 def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
-                   lengths=None):
+                   lengths=None, window=0):
     shape = q.shape  # (..., S, D)
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
@@ -502,7 +542,7 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
             # cast the mask to the score dtype: an f32 mask would silently
             # upcast scores -- and through the residual stream the ENTIRE
             # rest of a bf16 model (measured: AMP GPT ran f32 past layer 1)
-            scores = scores + _causal_mask(s).astype(scores.dtype)
+            scores = scores + _causal_mask(s, window).astype(scores.dtype)
         if lengths is not None:
             colm, rowv = _len_masks(lengths, b, s)
             scores = scores + colm.astype(scores.dtype)
@@ -519,24 +559,25 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
         if lengths is not None:
             lse = jnp.where(rowv, lse, 0.0)
         return out, lse
-    out, lse = _flash_fwd(q3, k3, v3, scale, causal, lengths=lengths)
+    out, lse = _flash_fwd(q3, k3, v3, scale, causal, lengths=lengths,
+                          window=window)
     return (out.reshape(shape), lse) if with_res else out.reshape(shape)
 
 
 def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False,
-                   lengths=None):
+                   lengths=None, window=0):
     shape = q.shape
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
     g3, q3, k3, v3 = (x.reshape(b, s, d) for x in (g, q, k, v))
     if mode == "pallas" and out is not None and lse is not None:
         dq, dk, dv = _flash_bwd(g3, q3, k3, v3, out.reshape(b, s, d), lse,
-                                scale, causal, lengths=lengths)
+                                scale, causal, lengths=lengths, window=window)
         return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
     # recompute path (one fused XLA program)
     scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
     if causal:
-        scores = scores + _causal_mask(s).astype(scores.dtype)
+        scores = scores + _causal_mask(s, window).astype(scores.dtype)
     if lengths is not None:
         colm, rowv = _len_masks(lengths, b, s)
         scores = scores + colm.astype(scores.dtype)
@@ -552,13 +593,14 @@ def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False,
 
 
 @functools.lru_cache(maxsize=None)
-def _build(which, scale, mode, causal, have_lens=False):
+def _build(which, scale, mode, causal, have_lens=False, window=0):
     if which == "bwd":
-        impl = functools.partial(_attn_bwd_impl, scale=scale, mode=mode, causal=causal)
+        impl = functools.partial(_attn_bwd_impl, scale=scale, mode=mode,
+                                 causal=causal, window=window)
     else:
         impl = functools.partial(
             _attn_fwd_impl, scale=scale, mode=mode, causal=causal,
-            with_res=(which == "fwd_res"),
+            with_res=(which == "fwd_res"), window=window,
         )
     return jax.jit(impl)
 
@@ -568,17 +610,17 @@ def _build(which, scale, mode, causal, have_lens=False):
 # (scan-over-layers, module_stages pipelines, plain jax callers) needs this
 # custom VJP.  The lse output's cotangent is honored on the pallas path (the
 # dcap shift in _flash_bwd); the tape op discards lse so it is zero there.
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attn_res(q, k, v, scale, causal, mode):
-    return _build("fwd_res", scale, mode, causal)(q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _attn_res(q, k, v, scale, causal, mode, window=0):
+    return _build("fwd_res", scale, mode, causal, window=window)(q, k, v)
 
 
-def _attn_res_fwd(q, k, v, scale, causal, mode):
-    out, lse = _build("fwd_res", scale, mode, causal)(q, k, v)
+def _attn_res_fwd(q, k, v, scale, causal, mode, window=0):
+    out, lse = _build("fwd_res", scale, mode, causal, window=window)(q, k, v)
     return (out, lse), (q, k, v, out, lse)
 
 
-def _attn_res_bwd(scale, causal, mode, res, cts):
+def _attn_res_bwd(scale, causal, mode, window, res, cts):
     q, k, v, out, lse = res
     g, glse = cts
     if mode == "pallas":
@@ -589,31 +631,39 @@ def _attn_res_bwd(scale, causal, mode, res, cts):
             g.astype(q.dtype).reshape(b, s, d), q.reshape(b, s, d),
             k.reshape(b, s, d), v.reshape(b, s, d), out.reshape(b, s, d),
             lse.reshape(b, s, 1), scale, causal,
-            dlse=glse.reshape(b, s, 1))
+            dlse=glse.reshape(b, s, 1), window=window)
         return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
-    return _build("bwd", scale, mode, causal)(g, q, k, v, out, lse)
+    return _build("bwd", scale, mode, causal, window=window)(
+        g, q, k, v, out, lse)
 
 
 _attn_res.defvjp(_attn_res_fwd, _attn_res_bwd)
 
 
 def attention_fwd(q, k, v, scale: float, causal: bool = False,
-                  lengths=None):
+                  lengths=None, window: int = 0):
+    if window:
+        assert causal, "sliding window attention is causal-only"
     mode = resolve_mode("attention", seq=q.shape[-2])
     return _build("fwd", float(scale), mode, causal,
-                  lengths is not None)(q, k, v, lengths=lengths)
+                  lengths is not None, window)(q, k, v, lengths=lengths)
 
 
 def attention_fwd_res(q, k, v, scale: float, causal: bool = False,
-                      lengths=None):
+                      lengths=None, window: int = 0):
     """Forward returning (out, lse) -- residuals for the flash backward.
     Differentiable under jax.vjp (custom VJP above).  ``lengths``: optional
-    (B,) int32 per-example valid lengths (right-padded batches; no-grad)."""
+    (B,) int32 per-example valid lengths (right-padded batches; no-grad).
+    ``window``: sliding-window band (Mistral semantics -- position i attends
+    to keys in [i-window+1, i]); causal-only, 0 disables."""
+    if window:
+        assert causal, "sliding window attention is causal-only"
     mode = resolve_mode("attention", seq=q.shape[-2])
     if lengths is not None:
+        assert not window, "lengths + sliding window not supported together"
         return _attn_res_lens(q, k, v, jnp.asarray(lengths, jnp.int32),
                               float(scale), causal, mode)
-    return _attn_res(q, k, v, float(scale), causal, mode)
+    return _attn_res(q, k, v, float(scale), causal, mode, int(window))
 
 
 # lengths-aware twin of _attn_res: lengths is a (non-differentiable) ARRAY
@@ -656,10 +706,10 @@ _attn_res_lens.defvjp(_attn_res_lens_fwd, _attn_res_lens_bwd)
 
 
 def attention_bwd(g, q, k, v, scale: float, causal: bool = False,
-                  out=None, lse=None, lengths=None):
+                  out=None, lse=None, lengths=None, window: int = 0):
     mode = resolve_mode("attention", seq=q.shape[-2])
-    return _build("bwd", float(scale), mode, causal,
-                  lengths is not None)(g, q, k, v, out, lse, lengths=lengths)
+    return _build("bwd", float(scale), mode, causal, lengths is not None,
+                  int(window))(g, q, k, v, out, lse, lengths=lengths)
 
 
 # ---------------------------------------------------------------------------
