@@ -20,7 +20,7 @@ from .autograd import (
 from .utils.profiler import Profiler
 from .autograd.tpu.tensor import set_device_init
 from .jit import jit
-from . import amp, random, checkpoint, parallel, schedule, quant
+from . import amp, random, checkpoint, parallel, schedule, quant, lora
 
 # tensor initializer shortcuts (parity: reference lightgrad/__init__.py)
 empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones
