@@ -12,7 +12,7 @@ SURVEY.md §3.3).
 from .autograd import Gradients, AbstractTensor
 
 __all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief", "Lion",
-           "RMSprop", "Adagrad"]
+           "RMSprop", "Adagrad", "Adafactor"]
 
 
 class Optimizer:
@@ -255,6 +255,132 @@ class Adagrad(Optimizer):
         s = self.sum[i]
         s += grad * grad * g1
         return grad * (-self.lr * g1) / (s ** 0.5 + self.eps)
+
+
+class Adafactor(Optimizer):
+    """Adafactor (https://arxiv.org/abs/1804.04235): sublinear-memory
+    adaptive optimizer -- THE classic for large TPU training runs (T5 etc.).
+
+    Second moments of a matrix-shaped parameter are stored FACTORED: one
+    row vector and one column vector (decay-averages of per-row / per-col
+    mean squared gradients) whose rank-1 outer product reconstructs the
+    per-element estimate -- O(n+m) optimizer memory instead of O(n*m).
+    On HBM-bound TPU training this halves-to-quarters optimizer state vs
+    Adam.  Matches ``optax.adafactor`` step-for-step (tests/test_nn.py):
+    increasing decay ``1 - t^-0.8``, per-block RMS clipping, optional
+    parameter-scale multiplication, optional momentum, decoupled decay.
+
+    Like the other optimizers here, ALL state lives in tensors (the step
+    counter included) so a whole training step compiles into one XLA
+    program via ``lightgrad_tpu.jit``, and every state update is gateable
+    by ``amp.MixedPrecision``'s {0,1} skip gate.
+    """
+
+    def __init__(self, parameters, lr: float = 1.0,
+                 min_dim_size_to_factor: int = 128,
+                 decay_rate: float = 0.8, clipping_threshold: float = 1.0,
+                 scale_parameter: bool = True, momentum: float = 0.0,
+                 weight_decay: float = 0.0, eps: float = 1e-30,
+                 min_param_scale: float = 1e-3):
+        super().__init__(parameters)
+        self.lr, self.decay_rate, self.eps = lr, decay_rate, eps
+        self.clip = clipping_threshold
+        self.scale_parameter = scale_parameter
+        self.min_param_scale = min_param_scale
+        self.momentum, self.wd = momentum, weight_decay
+        proto = type(self.parameters[0]) if self.parameters else None
+        self.t = proto.zeros((), requires_grad=False) if proto else None
+        # per-parameter: either (v_row, v_col, d0, d1) or a full v
+        self.v_row, self.v_col, self.v, self._dims = [], [], [], []
+        import numpy as np
+
+        for p in self.parameters:
+            dims = self._factored_dims(p.shape, min_dim_size_to_factor)
+            self._dims.append(dims)
+            if dims is not None:
+                d1, d0 = dims
+                vr = tuple(np.delete(p.shape, d0))
+                vc = tuple(np.delete(p.shape, d1))
+                self.v_row.append(type(p).zeros(vr, requires_grad=False))
+                self.v_col.append(type(p).zeros(vc, requires_grad=False))
+                self.v.append(None)
+            else:
+                self.v_row.append(None)
+                self.v_col.append(None)
+                self.v.append(self._zeros_like(p))
+        self.m = ([self._zeros_like(p) for p in self.parameters]
+                  if momentum else None)
+
+    @staticmethod
+    def _factored_dims(shape, min_size):
+        """The two LARGEST axes (optax convention), or None if the
+        second-largest is below the factoring threshold."""
+        import numpy as np
+
+        if len(shape) < 2:
+            return None
+        order = np.argsort(shape)
+        if shape[order[-2]] < min_size:
+            return None
+        return int(order[-2]), int(order[-1])
+
+    @Gradients.no_grad()
+    def step(self):
+        self.t += 1.0 if self._gate is None else self._gate
+        # increasing decay 1 - t^-0.8; t==0 only if every step was
+        # gate-skipped -- guard 0^-0.8 = inf from poisoning the multiplier
+        t_safe = self.t + self.t.eq(0.0)
+        self._dr = 1.0 - t_safe ** (-self.decay_rate)
+        super().step()
+
+    def compute_delta(self, grad, i):
+        g1 = 1.0 if self._gate is None else self._gate
+        keep = 0.0 if self._gate is None else (1.0 - self._gate)
+        dr = self._dr
+        shape = grad.shape
+        gsq = grad * grad + self.eps
+        if self._dims[i] is not None:
+            d1, d0 = self._dims[i]
+            vr, vc = self.v_row[i], self.v_col[i]
+            vr *= dr * g1 + keep
+            vr += gsq.mean(axis=d0) * ((1.0 - dr) * g1)
+            vc *= dr * g1 + keep
+            vc += gsq.mean(axis=d1) * ((1.0 - dr) * g1)
+            # rank-1 reconstruction, row side normalized by its mean
+            reduced_d1 = d1 - 1 if d1 > d0 else d1
+            row_mean = vr.mean(axis=reduced_d1, keepdims=True)
+            rf_shape = list(shape)
+            rf_shape[d0] = 1
+            cf_shape = list(shape)
+            cf_shape[d1] = 1
+            u = grad * (vr / row_mean).reshape(*rf_shape) ** -0.5 \
+                * vc.reshape(*cf_shape) ** -0.5
+        else:
+            v = self.v[i]
+            v *= dr * g1 + keep
+            v += gsq * ((1.0 - dr) * g1)
+            u = grad * v ** -0.5
+        if self.clip:
+            # per-block RMS clipping: u /= max(1, rms(u)/threshold)
+            rms_u = (u * u).mean() ** 0.5
+            over = rms_u.gt(self.clip)
+            u = u * (over * (self.clip / (rms_u + self.eps))
+                     + (1.0 - over))
+        u = u * self.lr
+        if self.scale_parameter:
+            # relative step: scale by max(rms(p), min_param_scale)
+            p = self.parameters[i]
+            rms_p = (p * p).mean() ** 0.5
+            big = rms_p.gt(self.min_param_scale)
+            u = u * (big * rms_p + (1.0 - big) * self.min_param_scale)
+        if self.m is not None:
+            m = self.m[i]
+            m *= self.momentum * g1 + keep
+            m += u * ((1.0 - self.momentum) * g1)
+            u = m
+        if self.wd:
+            u = u + self.parameters[i] * self.wd
+        return u * -1.0
 
 
 @Gradients.no_grad()

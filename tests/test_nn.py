@@ -113,6 +113,68 @@ def test_lion_matches_optax():
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("kw,shape", [
+    # factored path (threshold 2 forces factoring of the 5x3 matrix)
+    (dict(min_dim_size_to_factor=2), (5, 3)),
+    # unfactored vector path
+    (dict(), (7,)),
+    # 3D: factoring picks the two largest axes (optax convention)
+    (dict(min_dim_size_to_factor=2), (2, 5, 3)),
+    # momentum + weight decay + no parameter scaling
+    (dict(min_dim_size_to_factor=2, momentum=0.9, weight_decay=0.05,
+          scale_parameter=False), (5, 3)),
+    # clipping disabled
+    (dict(min_dim_size_to_factor=2, clipping_threshold=None), (5, 3)),
+])
+def test_adafactor_matches_optax(kw, shape):
+    """Step-for-step parity with optax.adafactor: factored second moments
+    over the two largest axes, 1 - t^-0.8 decay, block-RMS clipping,
+    parameter-scale multiplication, optional momentum/decay."""
+    optax = pytest.importorskip("optax")
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    p_np = rng.uniform(-1, 1, shape).astype(np.float32)
+    grads = [rng.uniform(-1, 1, shape).astype(np.float32) for _ in range(5)]
+
+    okw = dict(learning_rate=0.1,
+               min_dim_size_to_factor=kw.get("min_dim_size_to_factor", 128),
+               clipping_threshold=kw.get("clipping_threshold", 1.0),
+               multiply_by_parameter_scale=kw.get("scale_parameter", True),
+               momentum=kw.get("momentum") or None,
+               weight_decay_rate=kw.get("weight_decay") or None)
+    tx = optax.adafactor(**okw)
+    ref_p = jnp.asarray(p_np)
+    state = tx.init(ref_p)
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.Adafactor(
+        [p], lr=0.1, clipping_threshold=kw.get("clipping_threshold", 1.0),
+        **{k: v for k, v in kw.items() if k != "clipping_threshold"})
+
+    for g in grads:
+        upd, state = tx.update(jnp.asarray(g), state, ref_p)
+        ref_p = optax.apply_updates(ref_p, upd)
+
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        np.testing.assert_allclose(p.numpy(), np.asarray(ref_p),
+                                   rtol=3e-5, atol=3e-6)
+
+
+def test_adafactor_memory_is_factored():
+    """The point of Adafactor: a (256, 128) matrix keeps 256+128 second-
+    moment values, not 256*128."""
+    p = CpuTensor.from_numpy(np.zeros((256, 128), np.float32))
+    opt = light.optim.Adafactor([p], lr=0.1)
+    assert opt.v[0] is None
+    state_elems = int(np.prod(opt.v_row[0].shape)) + int(
+        np.prod(opt.v_col[0].shape))
+    assert state_elems == 256 + 128
+
+
 def test_adamw_matches_torch():
     """Step-for-step parity with torch.optim.AdamW on identical params/grads
     (decoupled decay, bias correction)."""
