@@ -21,6 +21,7 @@ from .utils.profiler import Profiler
 from .autograd.tpu.tensor import set_device_init
 from .jit import jit
 from . import amp, random, checkpoint, parallel, schedule, quant, lora
+from . import serving
 
 # tensor initializer shortcuts (parity: reference lightgrad/__init__.py)
 empty, zeros, ones = Tensor.empty, Tensor.zeros, Tensor.ones

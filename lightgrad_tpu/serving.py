@@ -1,0 +1,177 @@
+"""Continuous-batching inference engine over compiled KV-cache decoding.
+
+Dynamic serving traffic (ragged arrivals, ragged lengths) is the worst case
+for an XLA-compiled decode loop: naive batching pads every request to the
+longest in its batch and stalls new arrivals until the batch drains.  This
+engine applies the continuous-batching design (Orca, OSDI'22; vLLM) the
+TPU-native way: a FIXED number of decode slots -- so every device program
+has a single static shape and compiles exactly once -- with per-slot
+admission/retirement driven from the host between dispatches.
+
+* One stacked cache array ``(slots, ...)`` holds every in-flight request;
+  "admitting" a request is a compiled prefill into its slot
+  (``dynamic_update_slice`` on the stacked cache), "retiring" is free.
+* Every engine tick advances ALL slots with ONE vmapped one-token program
+  (the same compiled step regardless of arrival pattern); finished or empty
+  slots harmlessly rewrite their last cache row (masked by ``<= pos``).
+* Sampling is host-side, so per-request temperature/top-k/top-p/eos come
+  for free and greedy outputs are token-exact vs ``model.generate``.
+
+Works with any model exposing the ``_kv_functions`` contract (GPT, Llama/
+Mistral/Qwen/Gemma, Mixtral, T5 decoder via its own wrapper).  No reference
+counterpart (the reference has no serving surface at all).
+"""
+
+import numpy as np
+
+__all__ = ["Request", "InferenceEngine"]
+
+
+class Request:
+    """One generation request and its (growing) result."""
+
+    _next_id = 0
+
+    def __init__(self, prompt, max_new_tokens: int, temperature: float = 0.0,
+                 top_k: int = 0, top_p: float = 0.0, eos_id: int = None):
+        self.id = Request._next_id
+        Request._next_id += 1
+        self.prompt = [int(t) for t in prompt]
+        self.max_new_tokens = int(max_new_tokens)
+        self.temperature = temperature
+        self.top_k, self.top_p = top_k, top_p
+        self.eos_id = eos_id
+        self.tokens = list(self.prompt)   # prompt + generated
+        self.done = False
+
+    @property
+    def n_generated(self):
+        return len(self.tokens) - len(self.prompt)
+
+
+class InferenceEngine:
+    """Slot-based continuous batching over a ``_kv_functions`` model.
+
+    ``slots`` is the max number of concurrently decoding requests -- a
+    compile-time constant (one vmapped step program of batch ``slots``).
+    ``submit()`` any number of requests, then ``run()``; requests are
+    admitted the moment a slot frees up, so short requests don't wait for
+    long ones and arrival order never pads anyone.
+    """
+
+    def __init__(self, model, slots: int = 8, rng=None):
+        import jax
+        import jax.numpy as jnp
+
+        self.model = model
+        self.slots = slots
+        self.rng = rng or np.random.default_rng(0)
+        cfg = model.cfg
+        self.window = (getattr(cfg, "n_positions", None)
+                       or cfg.max_position_embeddings)
+        if not hasattr(model, "_kv_fns"):
+            model._kv_fns = model._kv_functions()
+        init_cache, prefill, step = model._kv_fns
+        c0 = init_cache()
+        self._caches = jnp.zeros((slots,) + c0.shape, c0.dtype)
+
+        # compiled once each: slot admission (prefill + stacked-cache write)
+        # and the all-slots decode tick
+        @jax.jit
+        def admit(caches, slot, toks, n_real):
+            cache, logits = prefill(jnp.zeros(c0.shape, c0.dtype),
+                                    toks, n_real)
+            return caches.at[slot].set(cache), logits
+
+        self._admit = admit
+        self._bstep = jax.jit(jax.vmap(step))
+
+        self._active = [None] * slots     # slot -> Request | None
+        self._queue = []
+        self._finished = []
+        # instrumentation: continuous batching's win is fewer step dispatches
+        self.stats = {"step_dispatches": 0, "prefills": 0,
+                      "tokens_generated": 0, "slot_tokens": 0}
+
+    # ------------------------------------------------------------------ API
+    def submit(self, prompt, max_new_tokens: int, **kw) -> Request:
+        req = Request(prompt, max_new_tokens, **kw)
+        assert len(req.prompt) + req.max_new_tokens <= self.window, (
+            f"prompt+new must fit the window "
+            f"({len(req.prompt)}+{req.max_new_tokens} > {self.window})")
+        self._queue.append(req)
+        return req
+
+    @property
+    def pending(self) -> int:
+        return len(self._queue) + sum(r is not None for r in self._active)
+
+    def run(self):
+        """Drive until every submitted request is finished; returns the
+        finished requests in completion order."""
+        while self.pending:
+            self.tick()
+        out, self._finished = self._finished, []
+        return out
+
+    # ------------------------------------------------------------ engine
+    def tick(self):
+        """One engine iteration: admit into free slots, then one vmapped
+        decode step across all slots."""
+        import jax.numpy as jnp
+
+        from lightgrad_tpu.models.gpt import _sample as sample_one
+
+        # --- admission: fill every free slot from the queue --------------
+        for slot in range(self.slots):
+            if self._active[slot] is not None or not self._queue:
+                continue
+            req = self._queue.pop(0)
+            toks = np.zeros(self.window, np.int32)
+            toks[: len(req.prompt)] = req.prompt
+            self._caches, logits = self._admit(
+                self._caches, jnp.int32(slot), jnp.asarray(toks),
+                jnp.int32(len(req.prompt)))
+            self.stats["prefills"] += 1
+            nxt = int(sample_one(np.asarray(logits), req.temperature,
+                                 self.rng, top_k=req.top_k, top_p=req.top_p))
+            req.tokens.append(nxt)
+            self.stats["tokens_generated"] += 1
+            if self._is_finished(req):
+                req.done = True
+                self._finished.append(req)
+            else:
+                self._active[slot] = req
+
+        if not any(r is not None for r in self._active):
+            return
+
+        # --- decode: ONE compiled step for every slot ---------------------
+        pos = np.zeros(self.slots, np.int32)
+        tok = np.zeros(self.slots, np.int32)
+        for slot, req in enumerate(self._active):
+            if req is not None:
+                pos[slot] = len(req.tokens) - 1
+                tok[slot] = req.tokens[-1]
+        self._caches, logits = self._bstep(
+            self._caches, jnp.asarray(pos), jnp.asarray(tok))
+        self.stats["step_dispatches"] += 1
+        self.stats["slot_tokens"] += self.slots
+        lg = np.asarray(logits)
+        for slot, req in enumerate(self._active):
+            if req is None:
+                continue
+            nxt = int(sample_one(lg[slot], req.temperature, self.rng,
+                                 top_k=req.top_k, top_p=req.top_p))
+            req.tokens.append(nxt)
+            self.stats["tokens_generated"] += 1
+            if self._is_finished(req):
+                req.done = True
+                self._finished.append(req)
+                self._active[slot] = None   # slot frees for next tick
+
+    @staticmethod
+    def _is_finished(req) -> bool:
+        if req.eos_id is not None and req.tokens[-1] == req.eos_id:
+            return True
+        return req.n_generated >= req.max_new_tokens
