@@ -95,6 +95,15 @@ def main():
                 bench_shape(bh, s, d, causal=causal)
         A.set_flash_bwd_blocks()
         return
+    if "--skip-ab" in sys.argv:
+        # causal block-skip in the two-pass backward: on vs off, in-session
+        for skip in (False, True):
+            A.set_flash_bwd_skip(skip)
+            print(f"bwd causal skip = {skip}:")
+            bench_shape(96, 2048, 64, causal=True)
+            bench_shape(48, 2048, 128, causal=True)
+        A.set_flash_bwd_skip(True)
+        return
     if "--ab" in sys.argv:
         # same-session fused vs two-pass backward comparison (chip variance
         # is 2-3x across hours; only in-session rankings are trustworthy)

@@ -148,6 +148,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
                           ).astype(lse_ref.dtype)
 
 
+# causal block-skip in the two-pass backward kernels (the forward always
+# skips).  A/B hook: benchmarks/flash_tune.py --causal compares in-session.
+_BWD_SKIP = True
+
+
+def set_flash_bwd_skip(on: bool):
+    global _BWD_SKIP
+    prev = _BWD_SKIP
+    _BWD_SKIP = on
+    _build.cache_clear()
+    return prev
+
+
 # default flash block shape; overridable per-call (benchmarks/flash_tune.py
 # sweeps these in-program on hardware: (512, 512) won the r3 sweep for the
 # two-pass backward at both d=64 and d=128 -- bk=2048 loses ~2x in the
@@ -311,7 +324,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
         ds = p * (dp - dcap_ref[0])
         acc_ref[...] += _dot(ds.astype(k_blk.dtype), k_blk) * scale
 
-    if causal or window:
+    if (causal and _BWD_SKIP) or window:
         # all-masked pairs (above diagonal / below band) add nothing to the
         # dq accumulator: skip the 3 GEMMs (same trick as the forward)
         pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
@@ -351,7 +364,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
         ds = jnp.where(valid, p * (dp - dcap_ref[0]), 0.0)
         dk_acc[...] += _dot(ds.astype(q_blk.dtype), q_blk, ta=True) * scale
 
-    if causal or window:
+    if (causal and _BWD_SKIP) or window:
         pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
     else:
         _compute()
