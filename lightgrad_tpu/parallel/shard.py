@@ -13,6 +13,7 @@ compiler then compiles the whole training step SPMD because input shardings
 flow into ``jax.jit``.
 """
 
+import math
 import re
 
 import jax
@@ -21,7 +22,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 __all__ = ["shard_tensor", "shard_module", "partition_rules", "BERT_TP_RULES",
            "GPT_TP_RULES", "LLAMA_TP_RULES", "T5_TP_RULES", "MOE_EP_RULES",
            "GPT_MOE_RULES", "LLAMA_MOE_RULES", "NEOX_TP_RULES",
-           "enable_sequence_parallel"]
+           "enable_sequence_parallel", "fsdp_spec", "fsdp_module"]
 
 
 def enable_sequence_parallel(module, mesh, axis: str = "sp",
@@ -103,6 +104,58 @@ def shard_module(module, mesh, rules=BERT_TP_RULES, verbose: bool = False):
     """Apply name-matched partition specs to every parameter of a Module."""
     for name, p in module.named_parameters():
         spec = partition_rules(rules, name)
+        if verbose:
+            print(f"  {name}: {spec}")
+        shard_tensor(p, mesh, spec)
+    return module
+
+
+def fsdp_spec(shape, base: P, n_shard: int, axis: str = "fsdp",
+              min_size: int = 2 ** 14, skip_leading: bool = False) -> P:
+    """Extend ``base`` with a fully-sharded-data-parallel axis.
+
+    Picks the LARGEST still-unsharded dimension divisible by ``n_shard`` and
+    assigns it to ``axis``; tensors smaller than ``min_size`` elements keep
+    ``base`` (the all-gather latency of a tiny bias outweighs its memory).
+    ``skip_leading`` protects the layer axis of scan-stacked parameters --
+    sharding it would make ``lax.scan`` gather a non-addressable slice per
+    iteration instead of one weight's worth of ICI traffic."""
+    dims = list(base) + [None] * (len(shape) - len(base))
+    if math.prod(shape) >= min_size:
+        lo = 1 if (skip_leading and len(shape) > 1) else 0
+        cands = [i for i in range(lo, len(shape))
+                 if dims[i] is None and shape[i] % n_shard == 0]
+        if cands:
+            dims[max(cands, key=lambda i: shape[i])] = axis
+    while dims and dims[-1] is None:  # canonical form: P() == replicated
+        dims.pop()
+    return P(*dims)
+
+
+def fsdp_module(module, mesh, axis: str = "fsdp", rules=None,
+                min_size: int = 2 ** 14, verbose: bool = False):
+    """ZeRO-3-style fully-sharded data parallelism via GSPMD annotation.
+
+    Every parameter (and, through ``Optimizer._zeros_like``'s placement
+    inheritance, every optimizer-state tensor) is stored sharded over
+    ``mesh[axis]``: per-device memory for params + grads + Adam moments drops
+    to 1/axis_size.  XLA's SPMD partitioner inserts the all-gather before
+    each use and the reduce-scatter on the gradients automatically -- the
+    same annotate-and-let-GSPMD-partition recipe as tensor parallelism, so
+    it composes with it: pass the family's TP ``rules`` and the fsdp axis is
+    laid on the largest dimension the TP split left unsharded.
+
+    Shard the BATCH over the same axis in the train step (data parallelism)
+    -- fsdp is dp with the model state scattered across the replicas.  The
+    reference framework has no distributed memory story at all (its opencl
+    backend is single-device, reference lightgrad/opencl/device.py); this is
+    the TPU-native equivalent of torch FSDP / DeepSpeed ZeRO-3.
+    """
+    n = mesh.shape[axis]
+    for name, p in module.named_parameters():
+        base = partition_rules(rules, name) if rules else P()
+        spec = fsdp_spec(p.data.shape, base, n, axis=axis, min_size=min_size,
+                         skip_leading="__" in name)
         if verbose:
             print(f"  {name}: {spec}")
         shard_tensor(p, mesh, spec)

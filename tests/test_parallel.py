@@ -635,3 +635,199 @@ def test_tp_sharded_compiled_kv_decode():
     assert out == ref, (out, ref)
     w = dict(m.named_parameters())["h.0.attn.c_attn.weight"]
     assert {s.data.shape for s in w.data.addressable_shards} == {(48, 32)}
+
+
+@needs_mesh
+def test_fsdp_spec_picks_largest_free_dim():
+    from lightgrad_tpu.parallel import fsdp_spec
+    from jax.sharding import PartitionSpec as P
+
+    # plain weight: largest divisible dim gets the axis
+    assert fsdp_spec((256, 128), P(), 8) == P("fsdp")
+    # TP already took dim 0 -> fsdp lands on dim 1
+    assert fsdp_spec((256, 128), P("tp", None), 8) == P("tp", "fsdp")
+    # tiny tensors stay as-is (all-gather latency > memory win)
+    assert fsdp_spec((64,), P(), 8) == P()
+    # scan-stacked params never shard the leading layer axis
+    assert fsdp_spec((8, 48, 128), P(), 8, skip_leading=True) == P(None, None, "fsdp")
+    # nothing divisible -> unchanged
+    assert fsdp_spec((250, 130), P(), 8, min_size=1) == P()
+
+
+@needs_mesh
+def test_fsdp_module_shards_params_and_state():
+    """fsdp=8: params and the Adam moments are stored 1/8-per-device."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu import parallel
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(0)
+    model = nn.Sequential(nn.Linear(256, 512), nn.ReLU(), nn.Linear(512, 64))
+    mesh = parallel.make_mesh(fsdp=8)
+    parallel.fsdp_module(model, mesh)
+
+    params = dict(model.named_parameters())
+    w1 = params["0.weight"]  # (512, 256) -> dim0 sharded
+    assert {s.data.shape for s in w1.data.addressable_shards} == {(64, 256)}
+    b1 = params["0.bias"]    # (512,) < min_size -> replicated
+    assert {s.data.shape for s in b1.data.addressable_shards} == {(512,)}
+
+    optim = light.optim.Adam(model.parameters(), lr=1e-3)
+    rng = np.random.default_rng(1)
+    x = TpuTensor.from_numpy(rng.normal(size=(16, 256)).astype(np.float32),
+                             requires_grad=False)
+    y = TpuTensor.from_numpy(rng.normal(size=(16, 64)).astype(np.float32),
+                             requires_grad=False)
+
+    def step():
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss
+
+    fn = light.jit(step)
+    losses = [float(fn().item()) for _ in range(4)]
+    assert losses[-1] < losses[0], losses
+    # the Adam moments inherited the fsdp placement (_zeros_like)
+    idx = [p is w1 for p in optim.parameters].index(True)
+    m = optim.m[idx]
+    assert {s.data.shape for s in m.data.addressable_shards} == {(64, 256)}
+
+
+@pytest.mark.slow  # two scanned-GPT step compiles
+@needs_mesh
+def test_fsdp_gpt_training_matches_unsharded():
+    """A scan_layers GPT fully sharded over fsdp=4 (composed with tp=2 via
+    GPT_TP_RULES) trains to the unsharded trajectory; stacked params carry
+    both axes with the layer axis replicated."""
+    from lightgrad_tpu import parallel
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.models.gpt import GPT, GPTConfig
+
+    cfg = dict(vocab_size=64, n_positions=16, n_embd=32, n_layer=3, n_head=2,
+               scan_layers=True)
+    np.random.seed(0)
+    ref = GPT(GPTConfig(**cfg))
+    np.random.seed(0)
+    sharded = GPT(GPTConfig(**cfg))
+    mesh = parallel.make_mesh(tp=2, fsdp=4)
+    parallel.fsdp_module(sharded, mesh, rules=parallel.GPT_TP_RULES,
+                         min_size=256)
+
+    qkv = dict(sharded.named_parameters())["h.attn__c_attn__weight"]
+    # (L=3, 3h=96, h=32): tp halves dim1, fsdp quarters dim2
+    shard_shapes = {s.data.shape for s in qkv.data.addressable_shards}
+    assert shard_shapes == {(3, 48, 8)}, shard_shapes
+
+    rng = np.random.default_rng(1)
+    ids = TpuTensor.from_numpy(rng.integers(0, 64, (4, 8)).astype(np.int32),
+                               requires_grad=False)
+    tgt = TpuTensor.from_numpy(rng.integers(0, 64, (32,)).astype(np.int32),
+                               requires_grad=False)
+
+    def losses_of(model):
+        optim = light.optim.Adam(model.parameters(), lr=1e-3)
+
+        def step():
+            logits = model(ids).reshape(32, 64)
+            loss = light.loss.cross_entropy(logits, tgt)
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            return loss
+
+        fn = light.jit(step)
+        return [float(fn().item()) for _ in range(4)]
+
+    la = losses_of(ref)
+    lb = losses_of(sharded)
+    np.testing.assert_allclose(la, lb, rtol=2e-4, atol=2e-5)
+    assert lb[-1] < lb[0], lb
+
+
+@needs_mesh
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """FSDP-sharded model+Adam saves only its owned shards (1/N files, no
+    full-size array) and resumes bit-exactly via the per-shard fast path."""
+    import lightgrad_tpu as light
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu import parallel
+    from lightgrad_tpu.autograd import TpuTensor
+    from lightgrad_tpu.checkpoint import (save_checkpoint_sharded,
+                                          load_checkpoint_sharded)
+
+    def build():
+        np.random.seed(0)
+        model = nn.Sequential(nn.Linear(128, 256), nn.ReLU(),
+                              nn.Linear(256, 32))
+        mesh = parallel.make_mesh(fsdp=8)
+        parallel.fsdp_module(model, mesh, min_size=1024)
+        optim = light.optim.Adam(model.parameters(), lr=1e-2)
+        return model, optim
+
+    model, optim = build()
+    rng = np.random.default_rng(1)
+    x = TpuTensor.from_numpy(rng.normal(size=(16, 128)).astype(np.float32),
+                             requires_grad=False)
+    y = TpuTensor.from_numpy(rng.normal(size=(16, 32)).astype(np.float32),
+                             requires_grad=False)
+
+    def make_step(model, optim):
+        def step():
+            loss = light.loss.mse(model(x), y)
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            return loss
+        return light.jit(step)
+
+    fn = make_step(model, optim)
+    [fn() for _ in range(3)]
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint_sharded(ckpt, model, optim, step=3)
+
+    # saved arrays are shard-sized, never the full (256, 128) weight
+    import glob
+    files = glob.glob(ckpt + "/shards-*.npz")
+    assert len(files) == 1  # single-process test host
+    with np.load(files[0]) as z:
+        shapes = {k: z[k].shape for k in z.files}
+    w_keys = [k for k in shapes if k.startswith("0.weight//")]
+    assert len(w_keys) == 8 and all(shapes[k] == (32, 128) for k in w_keys), \
+        {k: shapes[k] for k in w_keys}
+
+    # continue training on the original for the expected trajectory
+    expected = [float(fn().item()) for _ in range(3)]
+
+    model2, optim2 = build()
+    meta = load_checkpoint_sharded(ckpt, model2, optim2)
+    assert int(meta["step"]) == 3
+    fn2 = make_step(model2, optim2)
+    resumed = [float(fn2().item()) for _ in range(3)]
+    np.testing.assert_allclose(resumed, expected, rtol=1e-5, atol=1e-7)
+
+
+@needs_mesh
+def test_sharded_checkpoint_reshard_on_load(tmp_path):
+    """A checkpoint saved under fsdp=8 loads into an UNSHARDED twin (host
+    assembly path) with identical parameter values."""
+    import lightgrad_tpu.nn as nn
+    from lightgrad_tpu import parallel
+    from lightgrad_tpu.checkpoint import (save_checkpoint_sharded,
+                                          load_checkpoint_sharded)
+
+    np.random.seed(0)
+    sharded = nn.Linear(128, 256)
+    mesh = parallel.make_mesh(fsdp=8)
+    parallel.fsdp_module(sharded, mesh, min_size=1024)
+    ckpt = str(tmp_path / "ck")
+    save_checkpoint_sharded(ckpt, sharded)
+
+    np.random.seed(7)
+    plain = nn.Linear(128, 256)
+    load_checkpoint_sharded(ckpt, plain)
+    np.testing.assert_array_equal(plain.weight.numpy(), sharded.weight.numpy())
+    np.testing.assert_array_equal(plain.bias.numpy(), sharded.bias.numpy())
