@@ -116,6 +116,87 @@ print(f"TRAIN_OK {pid} loss={losses[-1]:.8f} " + " ".join(sums), flush=True)
 """
 
 
+_FSDP_CKPT_WORKER = r"""
+import os, sys, time
+port, pid, ckpt = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+from lightgrad_tpu.parallel import distributed
+assert distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                              process_id=pid)
+
+import numpy as np
+import lightgrad_tpu as light
+import lightgrad_tpu.nn as nn
+from lightgrad_tpu.autograd import TpuTensor
+from lightgrad_tpu.parallel import make_mesh, fsdp_module
+from lightgrad_tpu.parallel.distributed import distribute_batch
+from lightgrad_tpu.checkpoint import (save_checkpoint_sharded,
+                                      load_checkpoint_sharded)
+from jax.sharding import PartitionSpec as P
+
+mesh = make_mesh(fsdp=4)            # 2 hosts x 2 devices
+
+def build():
+    np.random.seed(11)              # identical init on both hosts
+    model = nn.Linear(16, 8)
+    fsdp_module(model, mesh, min_size=16)
+    optim = light.optim.Adam(model.parameters(), lr=1e-2)
+    return model, optim
+
+model, optim = build()
+rng = np.random.default_rng(5)
+full_x = rng.normal(size=(8, 16)).astype(np.float32)
+full_y = rng.normal(size=(8, 8)).astype(np.float32)
+lo, hi = pid * 4, (pid + 1) * 4
+x = TpuTensor(distribute_batch(mesh, full_x[lo:hi], P("fsdp")), requires_grad=False)
+y = TpuTensor(distribute_batch(mesh, full_y[lo:hi], P("fsdp")), requires_grad=False)
+
+def make_step(model, optim):
+    def step():
+        loss = light.loss.mse(model(x), y)
+        optim.zero_grad()
+        loss.backward()
+        optim.step()
+        return loss
+    return light.jit(step)
+
+fn = make_step(model, optim)
+[fn() for _ in range(2)]
+
+def local_sums(model):
+    out = {}
+    for n, p in model.named_parameters():
+        out[n] = [float(np.asarray(s.data).sum())
+                  for s in p.data.addressable_shards]
+    return out
+
+before = local_sums(model)
+save_checkpoint_sharded(ckpt, model, optim, step=2)
+# this process wrote shards-{pid}.npz; wait for the peer's file + meta
+deadline = time.time() + 120
+want = [os.path.join(ckpt, f"shards-{i:05d}.npz") for i in range(2)] + \
+       [os.path.join(ckpt, "meta.json")]
+while not all(os.path.exists(f) for f in want):
+    assert time.time() < deadline, "peer checkpoint files never appeared"
+    time.sleep(0.2)
+
+expected = float(make_step(model, optim)().item())   # trajectory oracle
+
+model2, optim2 = build()
+meta = load_checkpoint_sharded(ckpt, model2, optim2)
+assert int(meta["step"]) == 2
+after = local_sums(model2)
+assert before == after, (before, after)   # bit-exact local shards restored
+resumed = float(make_step(model2, optim2)().item())
+np.testing.assert_allclose(resumed, expected, rtol=1e-6, atol=1e-8)
+print(f"CKPT_OK {pid} loss={resumed:.8f}", flush=True)
+"""
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -220,3 +301,47 @@ def test_two_process_train_step(tmp_path):
     for n, v in want.items():
         np.testing.assert_allclose(float(got[n]), v, rtol=1e-5, atol=1e-6,
                                    err_msg=n)
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="gloo loopback lane")
+def test_two_process_fsdp_sharded_checkpoint(tmp_path):
+    """FSDP training across 2 processes checkpoints via each process writing
+    ONLY its owned shards, then resumes bit-exactly on both hosts (local
+    shard sums identical pre/post, next-step loss matches the uninterrupted
+    trajectory)."""
+    script = tmp_path / "ckpt_worker.py"
+    script.write_text(_FSDP_CKPT_WORKER)
+    ckpt = str(tmp_path / "ck")
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(port), str(i), ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            p.kill()
+    lines = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"CKPT_OK {i}" in out, out
+        lines.append(out.split(f"CKPT_OK {i} ")[1].splitlines()[0])
+    # the resumed loss is the SAME global value on both hosts
+    assert lines[0] == lines[1], (lines[0], lines[1])
+    # and each process's file holds only shard-sized pieces of the weight:
+    # (8, 16) fsdp=4 shards the largest dim -> (8, 4) per device, 2 per host
+    with np.load(os.path.join(ckpt, "shards-00000.npz")) as z:
+        w_shapes = [z[k].shape for k in z.files if k.startswith("weight//")]
+    assert w_shapes and all(s == (8, 4) for s in w_shapes), w_shapes
