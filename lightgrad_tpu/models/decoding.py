@@ -17,7 +17,33 @@ infill, ``/root/reference/examples/bert.py:374-383``).
 
 import numpy as np
 
-__all__ = ["beam_search", "generate_batch", "generate_speculative"]
+__all__ = ["beam_search", "generate_batch", "generate_speculative", "ParamFn"]
+
+
+class ParamFn:
+    """Compiled callable whose model parameters enter as a RUNTIME argument.
+
+    ``jax.jit`` embeds closed-over concrete arrays as literal constants in
+    the serialized program -- a decode step closing over GPT-2-small's
+    weights ships a ~1 GB HLO per compile, which the tunneled chip's
+    remote-compile endpoint rejects (HTTP 413).  Binding the params dict as
+    the leading pytree argument keeps the program kilobytes-sized, and
+    reloaded or resharded weights reuse the same executable.
+
+    Compose with ``.fn`` (the raw ``fn(params, *args)``) plus explicit
+    ``.params`` -- e.g. ``jax.vmap(pf.fn, in_axes=(None, 0, ...))`` -- never
+    by calling a ParamFn inside another trace (that would re-embed the
+    params as constants of the outer program)."""
+
+    def __init__(self, fn, params):
+        import jax
+
+        self.fn = fn
+        self.params = params
+        self.jitted = jax.jit(fn)
+
+    def __call__(self, *args):
+        return self.jitted(self.params, *args)
 
 
 def _log_softmax(x):
@@ -92,8 +118,9 @@ def generate_batch(model, prompts, max_new_tokens: int,
     (GPT, Llama): B ragged prompts decode together.
 
     The single-sequence compiled programs are lifted over the batch with
-    ``jax.vmap`` -- parameters broadcast as closure constants, per-sequence
-    caches/positions map over the leading axis -- so every generated round
+    ``jax.vmap`` -- parameters broadcast unbatched (in_axes=None, passed at
+    runtime), per-sequence caches/positions map over the leading axis -- so
+    every generated round
     costs ONE program dispatch for the whole batch (serving throughput)
     instead of B.  Finished rows re-write their last cache slot harmlessly
     until every row hits ``eos_id``.
@@ -114,8 +141,11 @@ def generate_batch(model, prompts, max_new_tokens: int,
         model._kv_fns = model._kv_functions()
     init_cache, prefill, step = model._kv_fns
     if not hasattr(model, "_kv_batch_fns"):
-        model._kv_batch_fns = (jax.jit(jax.vmap(prefill)),
-                               jax.jit(jax.vmap(step)))
+        # params broadcast (in_axes=None) -- ONE copy in the program, passed
+        # at call time; caches/positions/tokens map over the leading axis
+        model._kv_batch_fns = (
+            jax.jit(jax.vmap(prefill.fn, in_axes=(None, 0, 0, 0))),
+            jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0))))
     bprefill, bstep = model._kv_batch_fns
 
     toks = np.zeros((B, W), np.int32)
@@ -123,7 +153,7 @@ def generate_batch(model, prompts, max_new_tokens: int,
         toks[i, :len(pr)] = pr
     c0 = init_cache()
     caches = jnp.zeros((B,) + c0.shape, c0.dtype)
-    caches, logits = bprefill(caches, jnp.asarray(toks),
+    caches, logits = bprefill(prefill.params, caches, jnp.asarray(toks),
                               jnp.asarray(lens, np.int32))
     rng = rng or np.random.default_rng(0)
     outs = [list(p) for p in prompts]
@@ -132,7 +162,7 @@ def generate_batch(model, prompts, max_new_tokens: int,
         if t > 0:
             pos = jnp.asarray([len(o) - 1 for o in outs], np.int32)
             tok = jnp.asarray([o[-1] for o in outs], np.int32)
-            caches, logits = bstep(caches, pos, tok)
+            caches, logits = bstep(step.params, caches, pos, tok)
         lg = np.asarray(logits)
         for i in range(B):
             if finished[i]:
@@ -190,18 +220,18 @@ def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
     key = ("_spec_verify", k)
     if getattr(model, "_spec_verify_key", None) != key:
         @jax.jit
-        def verify(cache, pos0, toks):
+        def verify_impl(p, cache, pos0, toks):
             """Scan k+1 tokens from pos0; returns per-position logits."""
             def body(c, inp):
                 i, tok = inp
-                c, logits = t_step(c, pos0 + i, tok)
+                c, logits = t_step.fn(p, c, pos0 + i, tok)
                 return c, logits
 
             return jax.lax.scan(
                 body, cache,
                 (jnp.arange(k + 1, dtype=jnp.int32), toks))
 
-        model._spec_verify = verify
+        model._spec_verify = lambda *a: verify_impl(t_step.params, *a)
         model._spec_verify_key = key
     verify = model._spec_verify
 

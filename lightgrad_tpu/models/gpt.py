@@ -294,8 +294,13 @@ class GPT(nn.Module):
         def gelu(x):
             return 0.5 * x * (1 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
 
-        def step(cache, pos, tok):
-            """One token at position ``pos``: returns (cache, logits)."""
+        def step(p, cache, pos, tok):
+            """One token at position ``pos``: returns (cache, logits).
+
+            ``p`` (the params dict) is a runtime argument, NOT a closure:
+            closed-over weights embed as HLO constants and a GPT-2-small
+            program would ship ~1 GB per remote compile (see
+            decoding.ParamFn)."""
             x = p["wte.weight"][tok] + p["wpe.weight"][pos]      # (d,)
             x = x[None, :]                                       # (1, d)
             pos_mask = (jnp.arange(W) <= pos)[None, None, :]     # (1, 1, W)
@@ -321,13 +326,12 @@ class GPT(nn.Module):
         def init_cache():
             return jnp.zeros((L, 2, H, W, hd), dtype=p["wte.weight"].dtype)
 
-        @jax.jit
-        def prefill(cache, toks, n_real):
+        def prefill(p, cache, toks, n_real):
             """Scan the padded prompt through ``step``; keep only the logits
             of the last real token (padding writes rows the mask hides)."""
             def body(c, inp):
                 pos, tok = inp
-                c, logits = step(c, pos, tok)
+                c, logits = step(p, c, pos, tok)
                 return c, logits
 
             n = toks.shape[0]
@@ -335,8 +339,9 @@ class GPT(nn.Module):
                 body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
             return cache, all_logits[n_real - 1]
 
-        step_jit = jax.jit(step)
-        return init_cache, prefill, step_jit
+        from .decoding import ParamFn
+
+        return init_cache, ParamFn(prefill, p), ParamFn(step, p)
 
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
                      top_k: int = 0, top_p: float = 0.0,

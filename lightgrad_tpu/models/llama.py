@@ -366,7 +366,10 @@ class Llama(nn.Module):
 
         swin = getattr(cfg, "sliding_window", None)
 
-        def step(cache, pos, tok):
+        def step(p, cache, pos, tok):
+            # p is a runtime argument, not a closure (decoding.ParamFn):
+            # closure weights embed as HLO constants and blow the tunnel's
+            # remote-compile size limit for real checkpoints
             x = p["embed_tokens.weight"][tok][None, :]           # (1, d)
             if emb_scale is not None:
                 x = x * jnp.asarray(emb_scale, x.dtype)
@@ -428,11 +431,10 @@ class Llama(nn.Module):
         def init_cache():
             return jnp.zeros((L, 2, KV, W, hd), dtype=p["embed_tokens.weight"].dtype)
 
-        @jax.jit
-        def prefill(cache, toks, n_real):
+        def prefill(p, cache, toks, n_real):
             def body(c, inp):
                 pos, tok = inp
-                c, logits = step(c, pos, tok)
+                c, logits = step(p, c, pos, tok)
                 return c, logits
 
             n = toks.shape[0]
@@ -440,7 +442,9 @@ class Llama(nn.Module):
                 body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
             return cache, all_logits[n_real - 1]
 
-        return init_cache, prefill, jax.jit(step)
+        from .decoding import ParamFn
+
+        return init_cache, ParamFn(prefill, p), ParamFn(step, p)
 
     def generate_batch(self, prompts, max_new_tokens: int = 20,
                        temperature: float = 0.0,

@@ -527,8 +527,9 @@ class T5ForConditionalGeneration(nn.Module):
 
     # ---- compiled KV-cache decoding (jax path) ---------------------------
     def _kv_functions(self, max_len: int):
-        """Build ``(encode_fn, cross_fn, step_fn)`` closing over parameter
-        buffers -- the T5 analogue of GPT's ``_kv_functions`` contract
+        """Build ``(encode_fn, cross_fn, step_fn)`` taking the parameter
+        dict as a runtime argument -- the T5 analogue of GPT's
+        ``_kv_functions`` contract
         (models/gpt.py): the decoder self-attention cache is one stacked
         ``(L, 2, H, max_len, dk)`` array, each step writes the new K/V row at
         ``pos`` via dynamic_update_slice and attends one query over the fixed
@@ -560,7 +561,7 @@ class T5ForConditionalGeneration(nn.Module):
             return 0.5 * x * (1 + jnp.tanh(
                 0.7978845608028654 * (x + 0.044715 * x ** 3)))
 
-        def ff(x, pre):
+        def ff(p, x, pre):
             if gated:
                 h = gelu(x @ p[pre + "wi_0.weight"].T) \
                     * (x @ p[pre + "wi_1.weight"].T)
@@ -571,7 +572,7 @@ class T5ForConditionalGeneration(nn.Module):
         def heads(x, w):                      # (S, D) @ -> (H, S, dk)
             return (x @ w.T).reshape(-1, H, dk).transpose(1, 0, 2)
 
-        def enc_bias(S):
+        def enc_bias(p, S):
             rel = np.arange(S)[None, :] - np.arange(S)[:, None]
             buckets = _relative_position_bucket(
                 rel, bidirectional=True,
@@ -588,12 +589,11 @@ class T5ForConditionalGeneration(nn.Module):
             num_buckets=cfg.relative_attention_num_buckets,
             max_distance=cfg.relative_attention_max_distance))
 
-        @jax.jit
-        def encode_fn(toks, add_mask):
+        def encode_fn(p, toks, add_mask):
             """(S,) int32 + (S,) additive mask -> (S, D) encoder states."""
             x = p["shared.weight"][toks]
             S = toks.shape[0]
-            bias = enc_bias(S) + add_mask[None, None, :]
+            bias = enc_bias(p, S) + add_mask[None, None, :]
             for l in range(Le):
                 pre = f"encoder.block.{l}.layer."
                 h = rms(x, p[pre + "0.layer_norm.weight"])
@@ -604,11 +604,10 @@ class T5ForConditionalGeneration(nn.Module):
                 att = att.transpose(1, 0, 2).reshape(S, H * dk)
                 x = x + att @ p[a + "o.weight"].T
                 h = rms(x, p[pre + "1.layer_norm.weight"])
-                x = x + ff(h, pre + "1.DenseReluDense.")
+                x = x + ff(p, h, pre + "1.DenseReluDense.")
             return rms(x, p["encoder.final_layer_norm.weight"])
 
-        @jax.jit
-        def cross_fn(enc):
+        def cross_fn(p, enc):
             """Encoder states -> per-decoder-layer cross K/V
             (Ld, 2, H, S, dk)."""
             kv = []
@@ -618,7 +617,7 @@ class T5ForConditionalGeneration(nn.Module):
                                      heads(enc, p[a + "v.weight"])]))
             return jnp.stack(kv)
 
-        def step(cache, pos, tok, cross, enc_add_mask):
+        def step(p, cache, pos, tok, cross, enc_add_mask):
             """One decoder token at ``pos``: returns (cache, logits)."""
             x = p["shared.weight"][tok][None, :]             # (1, D)
             pos_mask = (jnp.arange(max_len) <= pos)[None, None, :]
@@ -649,13 +648,17 @@ class T5ForConditionalGeneration(nn.Module):
                 x = x + att.transpose(1, 0, 2).reshape(1, H * dk) \
                     @ p[c + "o.weight"].T
                 h = rms(x, p[pre + "2.layer_norm.weight"])
-                x = x + ff(h, pre + "2.DenseReluDense.")
+                x = x + ff(p, h, pre + "2.DenseReluDense.")
             x = rms(x, p["decoder.final_layer_norm.weight"])
             if cfg.tie_word_embeddings:
                 return cache, ((x * D ** -0.5) @ p["shared.weight"].T)[0]
             return cache, (x @ p["lm_head.weight"].T)[0]
 
-        return encode_fn, cross_fn, jax.jit(step)
+        # params enter as runtime args (decoding.ParamFn): closure weights
+        # embed as HLO constants and exceed the tunnel's compile size limit
+        from .decoding import ParamFn
+
+        return ParamFn(encode_fn, p), ParamFn(cross_fn, p), ParamFn(step, p)
 
     def generate_compiled(self, src_ids, max_new_tokens: int = 20,
                           attention_mask=None, temperature: float = 0.0,

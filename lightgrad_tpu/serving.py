@@ -76,15 +76,18 @@ class InferenceEngine:
         self._caches = jnp.zeros((slots,) + c0.shape, c0.dtype)
 
         # compiled once each: slot admission (prefill + stacked-cache write)
-        # and the all-slots decode tick
+        # and the all-slots decode tick.  Params enter as runtime arguments
+        # (decoding.ParamFn contract) -- composing via .fn keeps the weights
+        # out of the serialized programs
         @jax.jit
-        def admit(caches, slot, toks, n_real):
-            cache, logits = prefill(jnp.zeros(c0.shape, c0.dtype),
-                                    toks, n_real)
+        def admit_impl(p, caches, slot, toks, n_real):
+            cache, logits = prefill.fn(p, jnp.zeros(c0.shape, c0.dtype),
+                                       toks, n_real)
             return caches.at[slot].set(cache), logits
 
-        self._admit = admit
-        self._bstep = jax.jit(jax.vmap(step))
+        self._admit = lambda *a: admit_impl(prefill.params, *a)
+        bstep_impl = jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0)))
+        self._bstep = lambda *a: bstep_impl(step.params, *a)
 
         self._active = [None] * slots     # slot -> Request | None
         self._queue = []

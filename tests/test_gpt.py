@@ -142,10 +142,13 @@ def test_kv_cache_per_token_cost_constant():
     model.generate([1, 2, 3], max_new_tokens=40, use_cache=True)
     # 1 prefill + (n-1) steps for n new tokens
     assert len(calls) == 39, len(calls)
-    # and the step function is a single jitted executable: fixed shapes mean
-    # no recompilation as position grows
+    # and the step function is a single jitted executable (params bound as a
+    # runtime argument, decoding.ParamFn): fixed shapes mean no
+    # recompilation as position grows
     import jax
-    assert isinstance(step, jax.stages.Wrapped)
+    from lightgrad_tpu.models.decoding import ParamFn
+    assert isinstance(step, ParamFn)
+    assert isinstance(step.jitted, jax.stages.Wrapped)
 
 
 def test_kv_cache_window_guard():
@@ -324,3 +327,24 @@ def test_speculative_sampled_runs_and_greedy_unchanged():
                                 rng=np.random.default_rng(5))
     assert len(samp) == len(ids) + 10
     assert all(0 <= t < 32 for t in samp)
+
+
+def test_kv_decode_program_excludes_weights():
+    """The lowered decode programs must NOT embed parameters as HLO literal
+    constants: a GPT-2-small prefill used to serialize ~1 GB (weights inlined
+    by jit closure capture) and the tunneled chip's remote-compile endpoint
+    rejects it with HTTP 413.  With params bound as a runtime argument
+    (decoding.ParamFn) the program is orders of magnitude smaller than the
+    weights."""
+    import jax.numpy as jnp
+
+    cfg = GPTConfig(vocab_size=2048, n_positions=32, n_embd=64, n_layer=2,
+                    n_head=2)
+    np.random.seed(0)
+    model = GPT(cfg)
+    init_cache, prefill, step = model._kv_functions()
+    cache = init_cache()
+    toks = jnp.zeros((32,), jnp.int32)
+    txt = prefill.jitted.lower(prefill.params, cache, toks, 3).as_text()
+    param_bytes = sum(p.numel() for p in model.parameters()) * 4
+    assert len(txt) < param_bytes / 4, (len(txt), param_bytes)
