@@ -81,6 +81,22 @@ def _over_budget(stage, est_s=0.0):
     return False
 
 
+def _stage(name, fn):
+    """Run one post-headline stage, isolated: a stage failure (e.g. a
+    tunnel-side compile rejection) must not abort the remaining stages or
+    flip the process exit code -- round 3 lost its decode + GPT-train rows
+    to one HTTP 413 crash mid-run."""
+    try:
+        fn()
+        return True
+    except Exception as e:  # noqa: BLE001 - log and continue
+        import traceback
+
+        err(f"STAGE FAILED {name}: {type(e).__name__}: {str(e)[:300]}")
+        traceback.print_exc(file=sys.stderr)
+        return False
+
+
 def _mfu(flops, dt):
     return round(flops / dt / V5E_BF16_PEAK, 4)
 
@@ -527,121 +543,134 @@ def main():
 
     checkpoint_results()
 
-    dt, runs, gf = bench_matmul()
-    details["matmul1024_f32_fwdbwd_s"] = round(dt, 6)
-    details["matmul1024_f32_runs"] = runs
-    details["matmul1024_f32_gflops"] = round(gf, 1)
-    details["matmul1024_f32_mfu"] = _mfu(3 * 2 * 1024 ** 3, dt)
-    err(f"matmul 1024^2 f32 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
-        f"(mfu {details['matmul1024_f32_mfu']})")
-    checkpoint_results()
+    def st_matmul_f32():
+        dt, runs, gf = bench_matmul()
+        details["matmul1024_f32_fwdbwd_s"] = round(dt, 6)
+        details["matmul1024_f32_runs"] = runs
+        details["matmul1024_f32_gflops"] = round(gf, 1)
+        details["matmul1024_f32_mfu"] = _mfu(3 * 2 * 1024 ** 3, dt)
+        err(f"matmul 1024^2 f32 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
+            f"(mfu {details['matmul1024_f32_mfu']})")
 
-    dt, runs, gf = bench_matmul(n=4096, iters=10, dtype=jnp.bfloat16)
-    details["matmul4096_bf16_fwdbwd_s"] = round(dt, 6)
-    details["matmul4096_bf16_runs"] = runs
-    details["matmul4096_bf16_gflops"] = round(gf, 1)
-    details["matmul4096_bf16_mfu"] = _mfu(3 * 2 * 4096 ** 3, dt)
-    err(f"matmul 4096^2 bf16 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
-        f"(mfu {details['matmul4096_bf16_mfu']})")
-    checkpoint_results()
+    def st_matmul_bf16():
+        dt, runs, gf = bench_matmul(n=4096, iters=10, dtype=jnp.bfloat16)
+        details["matmul4096_bf16_fwdbwd_s"] = round(dt, 6)
+        details["matmul4096_bf16_runs"] = runs
+        details["matmul4096_bf16_gflops"] = round(gf, 1)
+        details["matmul4096_bf16_mfu"] = _mfu(3 * 2 * 4096 ** 3, dt)
+        err(f"matmul 4096^2 bf16 fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s "
+            f"(mfu {details['matmul4096_bf16_mfu']})")
 
-    dt, runs, gf = bench_conv()
-    details["conv2d_fwdbwd_s"] = round(dt, 6)
-    details["conv2d_runs"] = runs
-    details["conv2d_fwdbwd_gflops"] = round(gf, 1)
-    err(f"conv2d fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s")
-    checkpoint_results()
+    def st_conv():
+        dt, runs, gf = bench_conv()
+        details["conv2d_fwdbwd_s"] = round(dt, 6)
+        details["conv2d_runs"] = runs
+        details["conv2d_fwdbwd_gflops"] = round(gf, 1)
+        err(f"conv2d fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s")
 
-    dt, runs, gf = bench_bert_layer()
-    details["bert_layer_f32_8x128_fwdbwd_s"] = round(dt, 5)
-    details["bert_layer_f32_8x128_runs"] = runs
-    details["bert_layer_f32_8x128_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
-    err(f"BERT layer f32 8x128 fwd+bwd: {dt*1e3:.2f}ms "
-        f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_f32_8x128_mfu']})")
-    checkpoint_results()
+    def st_bert_f32():
+        dt, runs, gf = bench_bert_layer()
+        details["bert_layer_f32_8x128_fwdbwd_s"] = round(dt, 5)
+        details["bert_layer_f32_8x128_runs"] = runs
+        details["bert_layer_f32_8x128_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+        err(f"BERT layer f32 8x128 fwd+bwd: {dt*1e3:.2f}ms "
+            f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_f32_8x128_mfu']})")
 
-    dt, runs, gf = bench_bert_layer(batch=8, seq=512, dtype=jnp.bfloat16)
-    details["bert_layer_bf16_8x512_fwdbwd_s"] = round(dt, 5)
-    details["bert_layer_bf16_8x512_runs"] = runs
-    details["bert_layer_bf16_8x512_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
-    err(f"BERT layer bf16 8x512 fwd+bwd: {dt*1e3:.2f}ms "
-        f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_bf16_8x512_mfu']})")
-    checkpoint_results()
+    def st_bert_bf16():
+        dt, runs, gf = bench_bert_layer(batch=8, seq=512, dtype=jnp.bfloat16)
+        details["bert_layer_bf16_8x512_fwdbwd_s"] = round(dt, 5)
+        details["bert_layer_bf16_8x512_runs"] = runs
+        details["bert_layer_bf16_8x512_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+        err(f"BERT layer bf16 8x512 fwd+bwd: {dt*1e3:.2f}ms "
+            f"(~{gf/1e3:.1f} TF/s, mfu {details['bert_layer_bf16_8x512_mfu']})")
 
-    if _over_budget("flash attention stages", est_s=180):
-        return
-    dt, runs, gf = bench_attention_long()
-    details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
-    details["flash_attention_s2048_runs"] = runs
-    details["flash_attention_s2048_gflops"] = round(gf, 1)
-    details["flash_attention_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
-    err(f"flash attention fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
-        f"(mfu {details['flash_attention_s2048_mfu']})")
-    checkpoint_results()
+    def st_flash_f32():
+        dt, runs, gf = bench_attention_long()
+        details["flash_attention_s2048_fwdbwd_s"] = round(dt, 5)
+        details["flash_attention_s2048_runs"] = runs
+        details["flash_attention_s2048_gflops"] = round(gf, 1)
+        details["flash_attention_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+        err(f"flash attention fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = "
+            f"{gf:.0f} GFLOP/s (mfu {details['flash_attention_s2048_mfu']})")
 
-    dt, runs, gf = bench_attention_long(dtype=jnp.bfloat16)
-    details["flash_attention_bf16_s2048_fwdbwd_s"] = round(dt, 5)
-    details["flash_attention_bf16_s2048_runs"] = runs
-    details["flash_attention_bf16_s2048_gflops"] = round(gf, 1)
-    details["flash_attention_bf16_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
-    err(f"flash attention bf16 fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = {gf:.0f} GFLOP/s "
-        f"(mfu {details['flash_attention_bf16_s2048_mfu']})")
-    checkpoint_results()
+    def st_flash_bf16():
+        dt, runs, gf = bench_attention_long(dtype=jnp.bfloat16)
+        details["flash_attention_bf16_s2048_fwdbwd_s"] = round(dt, 5)
+        details["flash_attention_bf16_s2048_runs"] = runs
+        details["flash_attention_bf16_s2048_gflops"] = round(gf, 1)
+        details["flash_attention_bf16_s2048_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+        err(f"flash attention bf16 fwd+bwd (96x2048x64): {dt*1e3:.2f}ms = "
+            f"{gf:.0f} GFLOP/s (mfu {details['flash_attention_bf16_s2048_mfu']})")
 
-    if _over_budget("int8 serving GEMM stage", est_s=120):
-        return
-    dt_f, vals_f, dt_q, vals_q, flops = bench_quant_linear()
-    details["quant_linear_bf16_4096_s"] = round(dt_f, 6)
-    details["quant_linear_int8_4096_s"] = round(dt_q, 6)
-    details["quant_linear_int8_runs"] = vals_q
-    details["quant_linear_int8_speedup"] = round(dt_f / dt_q, 3)
-    details["quant_linear_int8_tflops"] = round(flops / dt_q / 1e12, 2)
-    err(f"int8 QuantLinear 4096^3: {dt_q*1e3:.3f}ms vs bf16 {dt_f*1e3:.3f}ms "
-        f"({details['quant_linear_int8_speedup']}x, "
-        f"{details['quant_linear_int8_tflops']} TF/s int8)")
-    checkpoint_results()
+    def st_quant():
+        dt_f, vals_f, dt_q, vals_q, flops = bench_quant_linear()
+        details["quant_linear_bf16_4096_s"] = round(dt_f, 6)
+        details["quant_linear_int8_4096_s"] = round(dt_q, 6)
+        details["quant_linear_int8_runs"] = vals_q
+        details["quant_linear_int8_speedup"] = round(dt_f / dt_q, 3)
+        details["quant_linear_int8_tflops"] = round(flops / dt_q / 1e12, 2)
+        err(f"int8 QuantLinear 4096^3: {dt_q*1e3:.3f}ms vs bf16 {dt_f*1e3:.3f}ms "
+            f"({details['quant_linear_int8_speedup']}x, "
+            f"{details['quant_linear_int8_tflops']} TF/s int8)")
 
-    if _over_budget("serving decode stage", est_s=240):
-        return
-    tok_s, btok_s = bench_decode()
-    details["decode_single_tok_s"] = round(tok_s, 1)
-    details["decode_batch8_tok_s"] = round(btok_s, 1)
-    err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
-        f"{btok_s:.0f} tok/s aggregate batch-8")
-    checkpoint_results()
+    def st_decode():
+        tok_s, btok_s = bench_decode()
+        details["decode_single_tok_s"] = round(tok_s, 1)
+        details["decode_batch8_tok_s"] = round(btok_s, 1)
+        err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
+            f"{btok_s:.0f} tok/s aggregate batch-8")
 
-    # GPT-2 last: the most expensive stage (whole-model compile when the
-    # persistent TPU cache is cold).  Scan-over-layers recording keeps the
-    # cold compile bounded; the budget guard keeps a cold cache from eating
-    # the driver timeout.
-    if _over_budget("GPT-2 AMP train stage", est_s=300):
-        return
-    dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
-    details["gpt2s_amp_train_step_s"] = round(dt, 5)
-    details["gpt2s_amp_train_runs"] = runs
-    details["gpt2s_amp_tokens_per_s"] = round(tok_s, 1)
-    details["gpt2s_amp_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
-    details["gpt2s_params"] = int(n_params)
-    err(f"GPT2-small ({n_params/1e6:.0f}M) AMP train 8x512: {dt*1e3:.1f}ms/step = "
-        f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, mfu {details['gpt2s_amp_mfu']})")
-    checkpoint_results()
+    def st_gpt_8x512():
+        dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
+        details["gpt2s_amp_train_step_s"] = round(dt, 5)
+        details["gpt2s_amp_train_runs"] = runs
+        details["gpt2s_amp_tokens_per_s"] = round(tok_s, 1)
+        details["gpt2s_amp_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
+        details["gpt2s_params"] = int(n_params)
+        err(f"GPT2-small ({n_params/1e6:.0f}M) AMP train 8x512: "
+            f"{dt*1e3:.1f}ms/step = {tok_s:.0f} tok/s "
+            f"({flops_s/1e12:.1f} TF/s, mfu {details['gpt2s_amp_mfu']})")
 
-    # larger per-chip token count (16x1024 = 4x the tokens): the MFU-relevant
-    # production configuration -- 8x512 keeps M=4096 GEMMs far under the MXU's
-    # efficiency knee (VERDICT r2 #4 lever list)
-    if _over_budget("GPT-2 AMP 16x1024 stage", est_s=240):
-        return
-    dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp(
-        batch=16, seq=1024, iters=5, repeats=5)
-    details["gpt2s_amp_16x1024_step_s"] = round(dt, 5)
-    details["gpt2s_amp_16x1024_runs"] = runs
-    details["gpt2s_amp_16x1024_tokens_per_s"] = round(tok_s, 1)
-    details["gpt2s_amp_16x1024_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
-    err(f"GPT2-small AMP train 16x1024: {dt*1e3:.1f}ms/step = "
-        f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, "
-        f"mfu {details['gpt2s_amp_16x1024_mfu']})")
-    checkpoint_results()
+    def st_gpt_16x1024():
+        # larger per-chip token count (16x1024 = 4x the tokens): the
+        # MFU-relevant production configuration -- 8x512 keeps M=4096 GEMMs
+        # far under the MXU's efficiency knee (VERDICT r2 #4 lever list)
+        dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp(
+            batch=16, seq=1024, iters=5, repeats=5)
+        details["gpt2s_amp_16x1024_step_s"] = round(dt, 5)
+        details["gpt2s_amp_16x1024_runs"] = runs
+        details["gpt2s_amp_16x1024_tokens_per_s"] = round(tok_s, 1)
+        details["gpt2s_amp_16x1024_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
+        err(f"GPT2-small AMP train 16x1024: {dt*1e3:.1f}ms/step = "
+            f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, "
+            f"mfu {details['gpt2s_amp_16x1024_mfu']})")
+
+    # GPT-2 stages last: the most expensive (whole-model compile when the
+    # persistent TPU cache is cold; scan-over-layers keeps it bounded)
+    stages = [
+        ("matmul f32", st_matmul_f32, 0),
+        ("matmul bf16", st_matmul_bf16, 0),
+        ("conv2d", st_conv, 0),
+        ("BERT layer f32", st_bert_f32, 0),
+        ("BERT layer bf16", st_bert_bf16, 0),
+        ("flash attention f32", st_flash_f32, 180),
+        ("flash attention bf16", st_flash_bf16, 120),
+        ("int8 serving GEMM", st_quant, 120),
+        ("serving decode", st_decode, 240),
+        ("GPT-2 AMP train 8x512", st_gpt_8x512, 300),
+        ("GPT-2 AMP train 16x1024", st_gpt_16x1024, 240),
+    ]
+    for name, fn, est in stages:
+        if _over_budget(name, est_s=est):
+            continue
+        _stage(name, fn)
+        checkpoint_results()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:  # noqa: BLE001 - the headline (atexit) must still land
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
