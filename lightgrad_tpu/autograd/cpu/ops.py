@@ -586,3 +586,28 @@ def _register_compare(name, np_fn):
 _register_compare("eq", np.equal)
 _register_compare("ge", np.greater_equal)
 _register_compare("gt", np.greater)
+
+
+@CpuTensor.register_op()
+class randn_like(Function):
+    """Standard-normal draws with ``a``'s shape/dtype (numpy global RNG --
+    the CPU backend is the eager oracle; traced-key freshness is the TPU
+    backend's concern).  No gradient."""
+
+    def forward(ctx, a, scale: float = 1.0):
+        z = np.random.standard_normal(a.shape).astype(a.dtype)
+        return _t(z * scale if scale != 1.0 else z)
+
+    def backward(ctx, g):
+        return None
+
+
+@CpuTensor.register_op()
+class randint_like(Function):
+    """Uniform int32 draws in [lo, hi) with ``a``'s shape.  No gradient."""
+
+    def forward(ctx, a, lo: int, hi: int):
+        return _t(np.random.randint(lo, hi, a.shape).astype(np.int32))
+
+    def backward(ctx, g):
+        return None

@@ -679,3 +679,38 @@ def _register_compare(name, fwd):
 _register_compare("eq", _f_eq)
 _register_compare("ge", _f_ge)
 _register_compare("gt", _f_gt)
+
+
+@TpuTensor.register_op()
+class randn_like(Function):
+    """Standard-normal draws with ``a``'s shape/dtype (x ``scale``).
+
+    RNG comes from lightgrad_tpu.random's key tensor, like ``dropout``: a
+    compiled step (lightgrad_tpu.jit) threads the mutated key through the
+    program and draws FRESH noise every call -- the device-side noise source
+    for diffusion training/sampling, noisy regularizers etc., with zero
+    per-step host->device traffic.  No gradient (pure noise)."""
+
+    def forward(ctx, a, scale: float = 1.0):
+        from ... import random as _lgrandom  # lazy: avoids import cycle
+
+        z = jax.random.normal(_lgrandom.next_key(), a.shape, a.data.dtype)
+        return _t(z * scale if scale != 1.0 else z)
+
+    def backward(ctx, g):
+        return None
+
+
+@TpuTensor.register_op()
+class randint_like(Function):
+    """Uniform int32 draws in [lo, hi) with ``a``'s shape (same traced-key
+    freshness contract as ``randn_like``).  No gradient."""
+
+    def forward(ctx, a, lo: int, hi: int):
+        from ... import random as _lgrandom
+
+        return _t(jax.random.randint(
+            _lgrandom.next_key(), a.shape, lo, hi, jnp.int32))
+
+    def backward(ctx, g):
+        return None
