@@ -24,7 +24,7 @@ from lightgrad_tpu.models import UNet, Diffusion
 
 
 def main(steps=400, batch=64, timesteps=200, base=32, lr=2e-4, viz=False,
-         seed=0):
+         seed=0, ema_decay=0.995):
     mnist = light.data.MNIST(train=True, n=20_000, shuffle=False)
     train_x = mnist.tensors[0].numpy().astype(np.float32)  # (n, 28, 28) in [0,1]
     data = train_x.reshape(-1, 1, 28, 28) * 2.0 - 1.0      # [-1, 1]
@@ -46,6 +46,9 @@ def main(steps=400, batch=64, timesteps=200, base=32, lr=2e-4, viz=False,
     data_dev = TpuTensor.from_numpy(data, requires_grad=False)
     ti = TpuTensor.from_numpy(np.zeros(batch, np.int32), requires_grad=False)
 
+    ema = light.optim.EMA(unet.parameters(), decay=ema_decay) \
+        if ema_decay else None
+
     def step(off):
         x0 = data_dev.narrow(off, batch)
         t = ti.randint_like(0, timesteps)
@@ -54,6 +57,8 @@ def main(steps=400, batch=64, timesteps=200, base=32, lr=2e-4, viz=False,
         optim.zero_grad()
         loss.backward()
         optim.step()
+        if ema is not None:  # shadow update fuses into the same program
+            ema.update()
         return loss
 
     fn = light.jit(step)
@@ -69,9 +74,13 @@ def main(steps=400, batch=64, timesteps=200, base=32, lr=2e-4, viz=False,
     dt = time.time() - t0
     print(f"{steps} steps in {dt:.1f}s ({steps/dt:.1f} steps/s)")
 
-    print("sampling 16 digits...")
+    print("sampling 16 digits" + (" (EMA weights)" if ema else "") + "...")
     t0 = time.time()
-    imgs = dif.sample(16, seed=seed + 1, jit=light.jit).numpy()
+    if ema is not None:
+        with ema.average_parameters():
+            imgs = dif.sample(16, seed=seed + 1, jit=light.jit).numpy()
+    else:
+        imgs = dif.sample(16, seed=seed + 1, jit=light.jit).numpy()
     print(f"sampled in {time.time()-t0:.1f}s, "
           f"range [{imgs.min():.2f}, {imgs.max():.2f}]")
 
@@ -100,6 +109,8 @@ if __name__ == "__main__":
     ap.add_argument("--base", type=int, default=32)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--viz", action="store_true")
+    ap.add_argument("--ema", type=float, default=0.995,
+                    help="EMA decay for sampling weights (0 disables)")
     args = ap.parse_args()
     main(steps=args.steps, batch=args.batch, timesteps=args.timesteps,
-         base=args.base, lr=args.lr, viz=args.viz)
+         base=args.base, lr=args.lr, viz=args.viz, ema_decay=args.ema)

@@ -55,6 +55,14 @@ def invalidate_captures():
     _capture_epoch += 1
 
 
+class _AbstractDiscoveryError(RuntimeError):
+    """Abstract (eval_shape) discovery itself failed -- the one case where
+    falling back to eager recording can help.  Compile/run errors (e.g. a
+    device RESOURCE_EXHAUSTED: the program genuinely does not fit) propagate
+    unchanged: re-recording eagerly would grind for minutes and then hit the
+    same wall."""
+
+
 class _Recorder:
     """Observes tensor reads/writes/creations during the recording step.
 
@@ -200,11 +208,14 @@ class _CompiledStep:
         if os.environ.get("LIGHTGRAD_RECORD", "abstract") == "abstract":
             try:
                 return self._record_abstract(sig, args)
-            except Exception as e:  # state restored by _record_abstract
+            except _AbstractDiscoveryError as e:
+                # state restored by _record_abstract
                 import warnings
 
+                cause = e.__cause__ or e
                 warnings.warn(
-                    f"abstract recording failed ({type(e).__name__}: {e}); "
+                    "abstract recording failed "
+                    f"({type(cause).__name__}: {cause}); "
                     "falling back to eager recording "
                     "(set LIGHTGRAD_RECORD=eager to silence)")
         return self._record_eager(sig, args)
@@ -270,7 +281,10 @@ class _CompiledStep:
 
         ok = False
         try:
-            jax.eval_shape(discover, structs)
+            try:
+                jax.eval_shape(discover, structs)
+            except Exception as e:
+                raise _AbstractDiscoveryError(str(e)) from e
             ok = True
         finally:
             # undo discovery: pre-existing tensors get their pre-write
@@ -433,6 +447,19 @@ class _CompiledStep:
             sig = self._signature(args)
             del self.cache[sig]
             return self._record(sig, args)
+        # a donated buffer must be unique across ALL program inputs: two
+        # captured tensors can legitimately alias one jax.Array (TpuTensor
+        # .copy() aliases because jax.Arrays are immutable -- e.g. EMA
+        # shadows start as zero-cost copies of their params), but XLA
+        # rejects double donation.  Break the alias with a real device copy
+        # (first dispatch only: the program returns distinct buffers for
+        # every mut slot, so aliases do not recur).
+        seen = {id(d) for d in arg_datas}
+        seen.update(id(d) for d in const_in)
+        for i, d in enumerate(mut_in):
+            if id(d) in seen:
+                mut_in[i] = jax.numpy.copy(d)
+            seen.add(id(mut_in[i]))
         out_datas, mut_datas = state["compiled"](arg_datas, mut_in, const_in)
         for t, d in zip(state["mutated"], mut_datas):
             t._set_data(d)

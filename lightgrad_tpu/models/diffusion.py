@@ -121,6 +121,10 @@ class Diffusion:
         # posterior variance beta_tilde = beta * (1 - a_bar_{t-1})/(1 - a_bar)
         self.post_std = mk(np.sqrt(betas * (1.0 - a_bar_prev)
                                    / (1.0 - a_bar)))
+        # a_bar padded with a_bar_{-1} = 1 at index 0, so DDIM can index
+        # a_bar[t_prev] with t_prev = -1 (the final hop to clean data) as
+        # a_bar_pad[t_prev + 1] -- no data-dependent control flow
+        self.a_bar_pad = mk(np.concatenate([[1.0], a_bar]))
 
     def q_sample(self, x0, t, noise):
         """Diffuse clean images to step ``t``: the closed-form forward."""
@@ -145,6 +149,56 @@ class Diffusion:
         mean = (xt - eps * self.eps_coef[t].reshape(b, 1, 1, 1)) \
             * self.rsqrt_alphas[t].reshape(b, 1, 1, 1)
         return mean + noise * self.post_std[t].reshape(b, 1, 1, 1)
+
+    def p_sample_ddim(self, xt, t, t_prev, eta: float, noise):
+        """One DDIM hop t -> t_prev (Song et al. 2021, arXiv:2010.02502 §4.1).
+
+        ``eta=0`` is the deterministic DDIM ODE; ``eta=1`` recovers DDPM's
+        ancestral variance.  ``t``/``t_prev`` are (b,) int tensors (traced --
+        every hop of any step schedule reuses ONE compiled program);
+        ``t_prev`` may be -1 for the final hop."""
+        b = xt.shape[0]
+        eps = self.model(xt, t.astype(np.float32))
+        a_t = self.a_bar_pad[t + 1].reshape(b, 1, 1, 1)
+        a_p = self.a_bar_pad[t_prev + 1].reshape(b, 1, 1, 1)
+        x0 = (xt - eps * (1.0 - a_t) ** 0.5) * a_t ** -0.5
+        sigma = ((1.0 - a_p) / (1.0 - a_t)) ** 0.5 \
+            * (1.0 - a_t / a_p) ** 0.5 * eta
+        dir_xt = (1.0 - a_p - sigma * sigma) ** 0.5 * eps
+        return x0 * a_p ** 0.5 + dir_xt + noise * sigma
+
+    def sample_ddim(self, n: int, steps: int = 50, eta: float = 0.0,
+                    shape=(1, 28, 28), seed: int = 0, jit=None):
+        """DDIM sampling on a ``steps``-long sub-schedule of the T trained
+        timesteps: 10-50 hops instead of T, deterministic at ``eta=0``.
+        One compiled program serves every hop (traced t/t_prev/gate)."""
+        from ..autograd import no_grad
+        from .. import random as _lgrandom
+
+        _lgrandom.seed(seed)
+        t0 = type(self.sqrt_a_bar)
+        rng = np.random.default_rng(seed)
+        x = t0.from_numpy(rng.normal(size=(n, *shape)).astype(np.float32),
+                          requires_grad=False)
+        ts = np.unique(np.linspace(0, self.T - 1, steps).round()
+                       .astype(np.int64))[::-1]  # descending
+        pairs = list(zip(ts, np.append(ts[1:], -1)))
+
+        def one(xt, t, tp, gate):
+            return self.p_sample_ddim(xt, t, tp, eta, xt.randn_like() * gate)
+
+        step = jit(one) if jit is not None else one
+        with no_grad():
+            for i, (t_i, tp_i) in enumerate(pairs):
+                t = t0.from_numpy(np.full((n,), t_i, np.int32),
+                                  requires_grad=False)
+                tp = t0.from_numpy(np.full((n,), tp_i, np.int32),
+                                   requires_grad=False)
+                gate = t0.from_numpy(
+                    np.float32(1.0 if (eta and i < len(pairs) - 1) else 0.0),
+                    requires_grad=False)
+                x = step(x, t, tp, gate)
+        return x
 
     def sample(self, n: int, shape=(1, 28, 28), seed: int = 0, jit=None):
         """Ancestral sampling: T reverse steps from pure noise (host loop,

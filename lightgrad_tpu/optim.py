@@ -9,10 +9,12 @@ program (the reference launched ~8 kernels per parameter per step,
 SURVEY.md §3.3).
 """
 
+import numpy as np
+
 from .autograd import Gradients, AbstractTensor
 
 __all__ = ["Optimizer", "SGD", "Adam", "AdamW", "AdaBelief", "Lion",
-           "RMSprop", "Adagrad", "Adafactor"]
+           "RMSprop", "Adagrad", "Adafactor", "Muon", "EMA"]
 
 
 class Optimizer:
@@ -381,6 +383,159 @@ class Adafactor(Optimizer):
         if self.wd:
             u = u + self.parameters[i] * self.wd
         return u * -1.0
+
+
+class Muon(Optimizer):
+    """Muon: momentum + Newton-Schulz orthogonalization of the update
+    (Jordan et al. 2024, https://kellerjordan.github.io/posts/muon/).
+
+    For matrix-shaped parameters the momentum buffer is orthogonalized with
+    a 5th-order Newton-Schulz iteration -- ``ns_steps`` matmuls of the
+    parameter's own shape, so the optimizer itself runs on the MXU (this is
+    the rare optimizer that is *matmul*-bound, a natural fit for TPU).
+    Conv kernels are flattened to (out, in*kh*kw) for the orthogonalization,
+    like the reference implementation.  Parameters with ndim < 2 (biases,
+    norm gains) fall back to AdamW with its own hyperparameters, matching
+    Muon-practice (embeddings/scalars are not orthogonalizable).
+
+    State is tensor-resident, so the whole step fuses into a compiled train
+    step like every other optimizer here.
+    """
+
+    _NS_A, _NS_B, _NS_C = 3.4445, -4.7750, 2.0315
+
+    def __init__(self, parameters, lr: float = 0.02, momentum: float = 0.95,
+                 nesterov: bool = True, ns_steps: int = 5,
+                 adamw_lr: float = 3e-4, beta1: float = 0.9,
+                 beta2: float = 0.95, eps: float = 1e-8,
+                 weight_decay: float = 0.0):
+        super().__init__(parameters)
+        self.lr, self.momentum, self.nesterov = lr, momentum, nesterov
+        self.ns_steps, self.wd = ns_steps, weight_decay
+        self.adamw_lr, self.b1, self.b2, self.eps = adamw_lr, beta1, beta2, eps
+        self.buf = [self._zeros_like(p) for p in self.parameters]
+        # second moments only for the AdamW fallback (ndim < 2)
+        self.v = [self._zeros_like(p) if p.ndim < 2 else None
+                  for p in self.parameters]
+        self.t = 0
+
+    def _ns5(self, g, rows: int, cols: int):
+        """Orthogonalize (rows, cols) matrix ``g``: X ~ U V^T of its SVD."""
+        a, b, c = self._NS_A, self._NS_B, self._NS_C
+        tall = rows > cols
+        x = g.transpose(1, 0) if tall else g
+        x = x * (((x * x).sum()) ** 0.5 + 1e-7) ** -1.0
+        for _ in range(self.ns_steps):
+            xxt = x @ x.transpose(1, 0)
+            bmat = xxt * b + (xxt @ xxt) * c
+            x = x * a + bmat @ x
+        return x.transpose(1, 0) if tall else x
+
+    def step(self):
+        self.t += 1
+        super().step()
+
+    def compute_delta(self, grad, i):
+        p = self.parameters[i]
+        m = self.buf[i]
+        with Gradients.no_grad():
+            if p.ndim >= 2:
+                m *= self.momentum
+                m += grad
+                g = grad + m * self.momentum if self.nesterov else m
+                rows, cols = p.shape[0], p.numel() // p.shape[0]
+                o = self._ns5(g.reshape(rows, cols) if p.ndim != 2 else g,
+                              rows, cols)
+                if p.ndim != 2:
+                    o = o.reshape(*p.shape)
+                scale = max(1.0, rows / cols) ** 0.5
+                u = o * scale
+                if self.wd:
+                    u = u + p * self.wd
+                return u * (-self.lr)
+            # AdamW fallback for vectors/scalars
+            v = self.v[i]
+            m *= self.b1
+            m += grad * (1.0 - self.b1)
+            v *= self.b2
+            v += grad * grad * (1.0 - self.b2)
+            mhat = m * (1.0 / (1.0 - self.b1 ** self.t))
+            vhat = v * (1.0 / (1.0 - self.b2 ** self.t))
+            u = mhat * (vhat ** 0.5 + self.eps) ** -1.0
+            if self.wd:
+                u = u + p * self.wd
+            return u * (-self.adamw_lr)
+
+
+class EMA:
+    """Exponential moving average of parameters (shadow weights).
+
+    The standard eval-quality trick for diffusion/vision training (Ho et al.
+    2020 use decay 0.9999): shadow ``s = decay*s + (1-decay)*p`` after every
+    optimizer step.  State is tensor-resident (one in-place ``iadd`` per
+    parameter), so ``update()`` fuses into a compiled train step exactly like
+    optimizer state does -- zero extra dispatches, zero host traffic.
+
+    ``average_parameters()`` context-swaps the shadow values into the live
+    parameter tensors (eval/sampling with averaged weights) and restores the
+    raw weights on exit.  The swap uses ``_set_data`` on the same tensor
+    objects, so module code needs no rebinds.
+
+    No counterpart in the reference (its optimizers are stateless beyond
+    moments, /root/reference/lightgrad/optim.py).
+    """
+
+    def __init__(self, parameters, decay: float = 0.999):
+        self.parameters = tuple(parameters)
+        assert all(isinstance(p, AbstractTensor) for p in self.parameters)
+        assert 0.0 < decay < 1.0, "EMA decay must be in (0, 1)"
+        self.decay = decay
+        with Gradients.no_grad():
+            self.shadow = [p.copy(requires_grad=False)
+                           for p in self.parameters]
+
+    @Gradients.no_grad()
+    def update(self):
+        """Fold the current parameter values into the shadow average."""
+        k = 1.0 - self.decay
+        for s, p in zip(self.shadow, self.parameters):
+            s += (p - s) * k
+
+    def state_dict(self) -> dict:
+        return {f"ema.{i}": s.numpy() for i, s in enumerate(self.shadow)}
+
+    def load_state_dict(self, d: dict) -> None:
+        for i, s in enumerate(self.shadow):
+            v = d[f"ema.{i}"]
+            s._set_data(type(s).from_numpy(
+                np.asarray(v), requires_grad=False).data)
+
+    def copy_to(self, parameters=None) -> None:
+        """Overwrite ``parameters`` (default: the tracked ones) with the
+        shadow values -- the one-way 'finalize for export' path."""
+        ps = self.parameters if parameters is None else tuple(parameters)
+        for s, p in zip(self.shadow, ps):
+            p._set_data(s._raw_data())
+
+    def average_parameters(self):
+        """Context manager: parameters hold the EMA values inside the block,
+        their live (raw) values are restored on exit."""
+        return _EMASwap(self)
+
+
+class _EMASwap:
+    def __init__(self, ema):
+        self.ema = ema
+
+    def __enter__(self):
+        self._raw = [p._raw_data() for p in self.ema.parameters]
+        self.ema.copy_to()
+        return self.ema
+
+    def __exit__(self, *exc):
+        for p, d in zip(self.ema.parameters, self._raw):
+            p._set_data(d)
+        return False
 
 
 @Gradients.no_grad()

@@ -94,3 +94,30 @@ def test_traced_rng_fresh_per_compiled_call():
     assert not np.array_equal(t1.numpy(), t2.numpy())
     assert np.std(z1.numpy()) > 0.5  # actually normal-ish, not zeros
     assert t1.numpy().min() >= 0 and t1.numpy().max() < 1000
+
+
+def test_ddim_deterministic_and_finite():
+    """eta=0 DDIM is deterministic: same seed => identical samples; the
+    10-hop sub-schedule produces finite images."""
+    _, dif = _tiny()
+    a = dif.sample_ddim(2, steps=5, eta=0.0, seed=3, jit=light.jit).numpy()
+    b = dif.sample_ddim(2, steps=5, eta=0.0, seed=3, jit=light.jit).numpy()
+    assert a.shape == (2, 1, 28, 28)
+    assert np.isfinite(a).all()
+    np.testing.assert_allclose(a, b)
+
+
+def test_ddim_full_schedule_eta1_matches_ancestral_marginals():
+    """With steps=T and eta=1, one DDIM hop equals the DDPM posterior: the
+    per-hop mean/std coefficients agree with p_sample's closed form."""
+    _, dif = _tiny()
+    rng = np.random.default_rng(0)
+    xt = TpuTensor.from_numpy(rng.normal(size=(2, 1, 28, 28)).astype(np.float32),
+                              requires_grad=False)
+    z = TpuTensor.from_numpy(rng.normal(size=(2, 1, 28, 28)).astype(np.float32),
+                             requires_grad=False)
+    t = TpuTensor.from_numpy(np.array([5, 5], np.int32), requires_grad=False)
+    tp = TpuTensor.from_numpy(np.array([4, 4], np.int32), requires_grad=False)
+    got = dif.p_sample_ddim(xt, t, tp, 1.0, z).numpy()
+    want = dif.p_sample(xt, t, z).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

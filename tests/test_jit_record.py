@@ -205,3 +205,42 @@ def test_device_init_trains_and_is_seeded():
     np.random.seed(2)
     d = light.nn.Linear(8, 4)
     np.testing.assert_array_equal(c.weight.numpy(), d.weight.numpy())
+
+
+def test_discovery_failure_falls_back_to_eager():
+    """Concrete value inspection inside fn breaks eval_shape discovery; the
+    recorder must fall back to eager recording and still produce a working
+    compiled step."""
+    from lightgrad_tpu.autograd import TpuTensor
+
+    w = TpuTensor.from_numpy(np.ones((3,), np.float32))
+
+    def step(x):
+        # .item() on an interior tensor is un-traceable -> discovery fails
+        scale = float((x * 0 + 2).sum().item()) / 3.0
+        return x * w * scale
+
+    fn = light.jit(step)
+    x = TpuTensor.from_numpy(np.arange(3, dtype=np.float32),
+                             requires_grad=False)
+    with pytest.warns(UserWarning, match="falling back to eager"):
+        y = fn(x)
+    np.testing.assert_allclose(y.numpy(), np.arange(3, dtype=np.float32) * 2)
+
+
+def test_compile_error_does_not_fall_back_to_eager(monkeypatch):
+    """A failure in compile/run (e.g. device OOM) propagates unchanged --
+    re-recording eagerly would only hit the same wall minutes later."""
+    import importlib
+
+    jit_mod = importlib.import_module("lightgrad_tpu.jit")
+    from lightgrad_tpu.autograd import TpuTensor
+
+    def boom(self, state, args):
+        raise RuntimeError("RESOURCE_EXHAUSTED: pretend the program is 20GB")
+
+    monkeypatch.setattr(jit_mod._CompiledStep, "_compile", boom)
+    fn = light.jit(lambda x: x * 2.0)
+    x = TpuTensor.from_numpy(np.ones((2,), np.float32), requires_grad=False)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        fn(x)

@@ -980,3 +980,139 @@ def test_device_trace_writes_profile(tmp_path):
     for root, _, files in os.walk(tmp_path):
         found += [f for f in files if "trace" in f or f.endswith(".pb")]
     assert found, "no profile artifacts written"
+
+
+def test_ema_matches_numpy_twin():
+    """Shadow update s = d*s + (1-d)*p, step for step."""
+    np.random.seed(3)
+    p_np = np.random.uniform(-1, 1, (4, 3)).astype(np.float32)
+    p = CpuTensor.from_numpy(p_np.copy())
+    ema = light.optim.EMA([p], decay=0.9)
+    shadow = p_np.copy()
+    for _ in range(5):
+        delta = np.random.uniform(-0.1, 0.1, p_np.shape).astype(np.float32)
+        with light.no_grad():
+            p += CpuTensor.from_numpy(delta, requires_grad=False)
+        ema.update()
+        shadow = 0.9 * shadow + 0.1 * p.numpy()
+        np.testing.assert_allclose(ema.shadow[0].numpy(), shadow,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_ema_average_parameters_swap_roundtrip():
+    """Inside the context params hold the shadow; outside, raw values."""
+    p = TpuTensor.from_numpy(np.ones((2, 2), np.float32))
+    ema = light.optim.EMA([p], decay=0.5)
+    with light.no_grad():
+        p += TpuTensor.from_numpy(np.full((2, 2), 2.0, np.float32),
+                                  requires_grad=False)
+    ema.update()  # shadow = .5*1 + .5*3 = 2
+    raw = p.numpy().copy()
+    with ema.average_parameters():
+        np.testing.assert_allclose(p.numpy(), 2.0)
+    np.testing.assert_allclose(p.numpy(), raw)
+    # state roundtrip
+    d = ema.state_dict()
+    ema2 = light.optim.EMA([p], decay=0.5)
+    ema2.load_state_dict(d)
+    np.testing.assert_allclose(ema2.shadow[0].numpy(), 2.0)
+
+
+def test_ema_update_fuses_into_compiled_step():
+    """ema.update() inside a light.jit step mutates the shadow as captured
+    state -- fresh values every call, no recompile."""
+    w = TpuTensor.from_numpy(np.zeros((3,), np.float32))
+    one = TpuTensor.from_numpy(np.ones((3,), np.float32), requires_grad=False)
+    ema = light.optim.EMA([w], decay=0.9)
+
+    def step():
+        with light.no_grad():
+            w.iadd(one)  # (+= would rebind w as a closure-local)
+        ema.update()
+        return ema.shadow[0]
+
+    fn = light.jit(step)
+    fn()
+    s1 = ema.shadow[0].numpy().copy()
+    fn()
+    s2 = ema.shadow[0].numpy().copy()
+    # numpy twin
+    shadow, wv = np.zeros(3), np.zeros(3)
+    for _ in range(2):
+        wv = wv + 1
+        shadow = 0.9 * shadow + 0.1 * wv
+    np.testing.assert_allclose(s2, shadow.astype(np.float32), rtol=1e-6)
+    assert not np.allclose(s1, s2)
+
+
+def _ns5_np(g, steps=5):
+    a, b, c = 3.4445, -4.7750, 2.0315
+    tall = g.shape[0] > g.shape[1]
+    x = g.T if tall else g
+    x = x / (np.linalg.norm(x) + 1e-7)
+    for _ in range(steps):
+        A = x @ x.T
+        B = b * A + c * (A @ A)
+        x = a * x + B @ x
+    return (x.T if tall else x).astype(np.float32)
+
+
+def test_muon_matches_numpy_twin():
+    """Matrix params: momentum + Newton-Schulz orthogonalized update,
+    step for step against a float64-free numpy twin of the published
+    algorithm (nesterov form, max(1, rows/cols)**0.5 scale)."""
+    np.random.seed(4)
+    p_np = np.random.uniform(-1, 1, (6, 4)).astype(np.float32)
+    grads = [np.random.uniform(-1, 1, (6, 4)).astype(np.float32)
+             for _ in range(3)]
+
+    p = CpuTensor.from_numpy(p_np.copy())
+    opt = light.optim.Muon([p], lr=0.02, momentum=0.95, nesterov=True)
+
+    twin, buf = p_np.copy(), np.zeros_like(p_np)
+    for g in grads:
+        p.zero_grad()
+        p.add_grad(CpuTensor.from_numpy(g.copy(), requires_grad=False))
+        opt.step()
+
+        buf = 0.95 * buf + g
+        eff = g + 0.95 * buf
+        o = _ns5_np(eff) * max(1.0, 6 / 4) ** 0.5
+        twin = twin - 0.02 * o
+        np.testing.assert_allclose(p.numpy(), twin, rtol=1e-4, atol=1e-5)
+
+
+def test_muon_update_is_near_orthogonal():
+    """The NS5 output should approximate U V^T: singular values ~ 1."""
+    np.random.seed(5)
+    p = CpuTensor.from_numpy(np.zeros((16, 16), np.float32))
+    opt = light.optim.Muon([p], lr=1.0, momentum=0.0, nesterov=False)
+    g = np.random.normal(size=(16, 16)).astype(np.float32)
+    p.add_grad(CpuTensor.from_numpy(g, requires_grad=False))
+    opt.step()
+    # delta = -lr * orthogonalized(g); lr=1, scale=1
+    sv = np.linalg.svd(-p.numpy(), compute_uv=False)
+    assert np.all(sv > 0.6) and np.all(sv < 1.4), sv
+
+
+def test_muon_conv_kernel_flatten_and_bias_fallback():
+    """4-D conv kernels orthogonalize as (out, in*kh*kw); 1-D biases take
+    the AdamW fallback (second-moment state exists only for them)."""
+    np.random.seed(6)
+    w = CpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (8, 3, 3, 3)).astype(np.float32))
+    b = CpuTensor.from_numpy(np.random.uniform(-1, 1, (8,)).astype(np.float32))
+    opt = light.optim.Muon([w, b])
+    assert opt.v[0] is None and opt.v[1] is not None
+    w0, b0 = w.numpy().copy(), b.numpy().copy()
+    for t in (w, b):
+        t.add_grad(CpuTensor.from_numpy(
+            np.random.uniform(-1, 1, t.shape).astype(np.float32),
+            requires_grad=False))
+    opt.step()
+    assert w.shape == (8, 3, 3, 3)
+    assert not np.allclose(w.numpy(), w0) and not np.allclose(b.numpy(), b0)
+    # flattened update is near-orthogonal for the 8x27 matrix
+    d = (w.numpy() - w0).reshape(8, -1) / (-0.02 * max(1.0, 8 / 27) ** 0.5)
+    sv = np.linalg.svd(d, compute_uv=False)
+    assert np.all(sv > 0.5) and np.all(sv < 1.5), sv
