@@ -70,8 +70,10 @@ class GPTConfig:
         # scan_layers: hold the L blocks as stacked (L, ...) parameters and
         # apply them with one lax.scan (O(1) compile size in depth --
         # lightgrad_tpu/scan.py); remat additionally rematerializes block
-        # activations in backward (checkpointing: memory ~O(sqrt-ish), +1
-        # forward of compute)
+        # activations in backward: True/"full" recomputes the whole block
+        # (+1 forward of compute), "dots" saves GEMM outputs and recomputes
+        # only the elementwise ops between them (near-zero FLOP overhead;
+        # see scan._remat_wrap)
         self.scan_layers = scan_layers
         self.remat = remat
         # Mixture-of-experts variant (Switch/Mixtral-style; framework

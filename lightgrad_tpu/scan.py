@@ -44,6 +44,31 @@ def _t(arr):
     return TpuTensor(_note(arr), requires_grad=False)
 
 
+def _remat_wrap(body, remat):
+    """Apply rematerialization to the scanned block body.
+
+    ``remat`` is False (save everything), True/"full" (recompute the whole
+    block in the backward -- ~1/3 extra fwd FLOPs, L-fold smaller stash), or
+    the name of a ``jax.checkpoint_policies`` policy.  ``"dots"`` selects
+    ``dots_with_no_batch_dims_saveable``: MXU (GEMM) outputs are saved and
+    only the cheap elementwise/norm ops between them are recomputed -- on
+    TPU this keeps the backward FLOP overhead near zero while still
+    dropping the large inter-GEMM temporaries, which is the right default
+    whenever the stash (not the params) is what overflows HBM.
+    """
+    if not remat:
+        return body
+    if remat is True or remat == "full":
+        return jax.checkpoint(body)
+    name = {"dots": "dots_with_no_batch_dims_saveable"}.get(remat, remat)
+    policy = getattr(jax.checkpoint_policies, name, None)
+    if policy is None:
+        raise ValueError(
+            f"unknown remat policy {remat!r} (use True/'full', 'dots', or a "
+            "jax.checkpoint_policies name)")
+    return jax.checkpoint(body, policy=policy)
+
+
 class _scan_blocks(Function):
     """Tape op: y = block(...block(block(x, p[0]), p[1])..., p[L-1]).
 
@@ -58,7 +83,7 @@ class _scan_blocks(Function):
     def forward(ctx, x, *ts, n_stacked=None, body=None, remat=False):
         stacked = tuple(t.data for t in ts[:n_stacked])
         extras = tuple(t.data for t in ts[n_stacked:])
-        step = jax.checkpoint(body) if remat else body
+        step = _remat_wrap(body, remat)
 
         def scan_fn(x_d, stk, ext):
             def f(h, layer):

@@ -77,7 +77,9 @@ def test_gradients_match_loop():
 
 @pytest.mark.parametrize(
     "remat",
-    [False, pytest.param(True, marks=pytest.mark.slow)],  # remat re-pays the
+    [False, "dots",  # "dots" saves GEMM outputs: near-zero recompute, so it
+     # stays in the default run and covers the policy plumbing
+     pytest.param(True, marks=pytest.mark.slow)],  # full remat re-pays the
     # whole fwd in bwd: ~22 s on the 1-core host; the False variant covers the
     # scan-vs-loop equivalence in the default run
 )
