@@ -408,7 +408,22 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
     outs = model.generate_batch(prompts, max_new_tokens=new_tokens)
     batch_s = time.time() - t0
     n_tok = sum(len(o) - prompt_len for o in outs)
-    return new_tokens / single_s, n_tok / batch_s
+
+    # whole-generation-on-device (models/decoding.py:generate_device): the
+    # per-token host round-trip disappears -- ONE dispatch + ONE readback
+    # per generation; the latency-optimal serving path
+    model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
+    t0 = time.time()
+    out = model.generate_device(prompt, max_new_tokens=new_tokens)
+    dev_single_s = time.time() - t0
+    assert len(out) == prompt_len + new_tokens
+    model.generate_batch_device(prompts, max_new_tokens=new_tokens)
+    t0 = time.time()
+    outs = model.generate_batch_device(prompts, max_new_tokens=new_tokens)
+    dev_batch_s = time.time() - t0
+    n_tok_dev = sum(len(o) - prompt_len for o in outs)
+    return (new_tokens / single_s, n_tok / batch_s,
+            new_tokens / dev_single_s, n_tok_dev / dev_batch_s)
 
 
 def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5, remat=False):
@@ -641,11 +656,14 @@ def main():
             f"{details['quant_linear_int8_tflops']} TF/s int8)")
 
     def st_decode():
-        tok_s, btok_s = bench_decode()
+        tok_s, btok_s, dev_tok_s, dev_btok_s = bench_decode()
         details["decode_single_tok_s"] = round(tok_s, 1)
         details["decode_batch8_tok_s"] = round(btok_s, 1)
+        details["decode_device_single_tok_s"] = round(dev_tok_s, 1)
+        details["decode_device_batch8_tok_s"] = round(dev_btok_s, 1)
         err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
-            f"{btok_s:.0f} tok/s aggregate batch-8")
+            f"{btok_s:.0f} tok/s aggregate batch-8; device-loop "
+            f"{dev_tok_s:.0f} tok/s single, {dev_btok_s:.0f} tok/s batch-8")
 
     def st_gpt_8x512():
         dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()

@@ -17,7 +17,8 @@ infill, ``/root/reference/examples/bert.py:374-383``).
 
 import numpy as np
 
-__all__ = ["beam_search", "generate_batch", "generate_speculative", "ParamFn"]
+__all__ = ["beam_search", "generate_batch", "generate_speculative",
+           "generate_device", "generate_batch_device", "ParamFn"]
 
 
 class ParamFn:
@@ -56,6 +57,168 @@ def _log_softmax(x):
 def _window(model):
     cfg = model.cfg
     return getattr(cfg, "n_positions", None) or cfg.max_position_embeddings
+
+
+def _device_sample(logits, key, temperature: float, top_k: int, top_p: float):
+    """On-device token sampling: greedy (temperature<=0), temperature,
+    top-k truncation, top-p (nucleus) truncation.  Hyperparameters are
+    python statics (baked into the program); ``logits`` is a (V,) array and
+    ``key`` a jax PRNG key.  Mirrors the host sampler (gpt._sample) minus
+    repetition_penalty, which needs the emitted-token history."""
+    import jax
+    import jax.numpy as jnp
+
+    if temperature <= 0:
+        return jnp.argmax(logits).astype(jnp.int32)
+    lg = logits.astype(jnp.float32)
+    if top_k and top_k < lg.shape[0]:
+        kth = jax.lax.top_k(lg, top_k)[0][-1]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    z = (lg - lg.max()) / temperature
+    if 0.0 < top_p < 1.0:
+        prob = jax.nn.softmax(z)
+        order = jnp.argsort(-prob)
+        psort = prob[order]
+        # smallest prefix reaching top_p mass (cumsum-exclusive < top_p
+        # always keeps the first token), scattered back to vocab order
+        keep_sorted = jnp.cumsum(psort) - psort < top_p
+        keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+        z = jnp.where(keep, z, -jnp.inf)
+    return jax.random.categorical(key, z).astype(jnp.int32)
+
+
+def _build_device_gen(model, max_new_tokens: int, temperature: float,
+                      top_k: int, top_p: float, eos_id):
+    """One pure function running an ENTIRE generation on device:
+    prefill + ``lax.scan`` over decode steps with on-device sampling.
+
+    Built over the ``_kv_functions`` contract (GPT, LLaMA/Mistral, NeoX);
+    returns ``run(params, cache, toks, n_real, rngkey) -> (W,)-padded prompt
+    + max_new_tokens sampled ids``.  After ``eos_id`` every subsequent slot
+    holds ``eos_id`` (the carry keeps feeding eos; the host trims)."""
+    import jax
+    import jax.numpy as jnp
+
+    init_cache, prefill, step = model._kv_fns
+    eos = jnp.int32(-1 if eos_id is None else eos_id)
+
+    def run(p, cache, toks, n_real, rngkey):
+        cache, logits = prefill.fn(p, cache, toks, n_real)
+        rngkey, sub = jax.random.split(rngkey)
+        first = _device_sample(logits, sub, temperature, top_k, top_p)
+        first = first.astype(jnp.int32)
+
+        def body(carry, _):
+            cache, pos, tok, rngkey, done = carry
+            cache, logits = step.fn(p, cache, pos, tok)
+            rngkey, sub = jax.random.split(rngkey)
+            nxt = _device_sample(logits, sub, temperature, top_k, top_p)
+            nxt = jnp.where(done, eos, nxt)
+            done = done | (nxt == eos)
+            return (cache, pos + 1, nxt, rngkey, done), nxt
+
+        done0 = (eos_id is not None) and (first == eos)
+        carry0 = (cache, n_real.astype(jnp.int32), first, rngkey,
+                  jnp.asarray(done0, bool))
+        _, rest = jax.lax.scan(body, carry0, None,
+                               length=max_new_tokens - 1)
+        return jnp.concatenate([first[None], rest])
+
+    return run
+
+
+def _trim_eos(seq, eos_id):
+    out = []
+    for t in seq:
+        out.append(int(t))
+        if eos_id is not None and int(t) == eos_id:
+            break
+    return out
+
+
+def generate_device(model, ids, max_new_tokens: int, temperature: float = 0.0,
+                    top_k: int = 0, top_p: float = 0.0, eos_id: int = None,
+                    seed: int = 0):
+    """Whole-generation-on-device decode: ONE dispatch and ONE readback for
+    the entire generation.
+
+    ``generate()`` pays a host round-trip per token (dispatch + logits
+    readback + host sampling) -- through a tunneled chip that trip, not
+    compute, dominates single-stream decode.  Here the prefill, every decode
+    step, and the sampling all run inside one compiled program
+    (``lax.scan`` over steps, ``jax.random.categorical`` sampling), so the
+    host sees only the final (max_new_tokens,) token vector.
+
+    Trade-offs vs ``generate()``: no streaming callback, no
+    repetition_penalty (needs host-side history), fixed ``max_new_tokens``
+    cost even when eos arrives early (post-eos steps run masked).  The
+    program is cached per (prompt-window, hyperparameter) signature.
+
+    Returns prompt + generated ids (eos included, post-eos slots trimmed).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    W = _window(model)
+    n_prompt = len(ids)
+    assert n_prompt + max_new_tokens <= W, (
+        f"prompt+new must fit the window ({n_prompt}+{max_new_tokens} > {W})")
+    if not hasattr(model, "_kv_fns"):
+        model._kv_fns = model._kv_functions()
+    init_cache, prefill, step = model._kv_fns
+    sig = ("dev_gen", max_new_tokens, temperature, top_k, top_p, eos_id)
+    cached = getattr(model, "_dev_gen", None)
+    if cached is None or cached[0] != sig:
+        run = _build_device_gen(model, max_new_tokens, temperature, top_k,
+                                top_p, eos_id)
+        model._dev_gen = (sig, jax.jit(run))
+    _, run = model._dev_gen
+    toks = jnp.asarray(np.pad(np.asarray(ids, np.int32),
+                              (0, W - n_prompt)))
+    new = run(prefill.params, init_cache(), toks,
+              jnp.int32(n_prompt), jax.random.PRNGKey(seed))
+    return list(ids) + _trim_eos(np.asarray(new), eos_id)
+
+
+def generate_batch_device(model, prompts, max_new_tokens: int,
+                          temperature: float = 0.0, top_k: int = 0,
+                          top_p: float = 0.0, eos_id: int = None,
+                          seed: int = 0):
+    """Batched whole-generation-on-device decode: B ragged prompts, ONE
+    dispatch for everything.  ``vmap`` of the single-sequence program --
+    params broadcast unbatched, caches/positions/keys map over the batch.
+
+    Returns a list of B token lists (prompt + generated, trimmed at eos).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    W = _window(model)
+    B = len(prompts)
+    lens = [len(p) for p in prompts]
+    assert max(lens) + max_new_tokens <= W, (
+        f"prompt+new must fit the window ({max(lens)}+{max_new_tokens} > {W})")
+    if not hasattr(model, "_kv_fns"):
+        model._kv_fns = model._kv_functions()
+    init_cache, prefill, step = model._kv_fns
+    sig = ("dev_gen_batch", max_new_tokens, temperature, top_k, top_p, eos_id)
+    cached = getattr(model, "_dev_gen_batch", None)
+    if cached is None or cached[0] != sig:
+        run = _build_device_gen(model, max_new_tokens, temperature, top_k,
+                                top_p, eos_id)
+        model._dev_gen_batch = (sig, jax.jit(
+            jax.vmap(run, in_axes=(None, 0, 0, 0, 0))))
+    _, brun = model._dev_gen_batch
+    toks = np.zeros((B, W), np.int32)
+    for i, pr in enumerate(prompts):
+        toks[i, :len(pr)] = pr
+    c0 = init_cache()
+    caches = jnp.zeros((B,) + c0.shape, c0.dtype)
+    keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(B)])
+    new = np.asarray(brun(prefill.params, caches, jnp.asarray(toks),
+                          jnp.asarray(lens, np.int32), keys))
+    return [list(pr) + _trim_eos(new[i], eos_id)
+            for i, pr in enumerate(prompts)]
 
 
 def beam_search(model, ids, max_new_tokens: int, beam_size: int = 4,

@@ -329,17 +329,38 @@ class GPT(nn.Module):
             return jnp.zeros((L, 2, H, W, hd), dtype=p["wte.weight"].dtype)
 
         def prefill(p, cache, toks, n_real):
-            """Scan the padded prompt through ``step``; keep only the logits
-            of the last real token (padding writes rows the mask hides)."""
-            def body(c, inp):
-                pos, tok = inp
-                c, logits = step(p, c, pos, tok)
-                return c, logits
-
-            n = toks.shape[0]
-            cache, all_logits = jax.lax.scan(
-                body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
-            return cache, all_logits[n_real - 1]
+            """Bulk prefill: the prompt forward runs PARALLEL over positions
+            (one (W, d) pass under a causal mask) and writes every K/V row
+            at once.  The transformer forward has no sequential dependency
+            over positions -- only decode does -- so prompt processing costs
+            one batched pass instead of W sequential single-token steps
+            (the scan formulation ran W tiny GEMMs back to back; this runs
+            W-row GEMMs that actually occupy the MXU).  Pad rows beyond
+            ``n_real`` hold garbage K/V but are unreachable: decode steps
+            overwrite row ``pos`` before the ``<= pos`` mask exposes it."""
+            x = p["wte.weight"][toks] + p["wpe.weight"][jnp.arange(W)]
+            causal = jnp.tril(jnp.ones((W, W), bool))[None]      # (1, W, W)
+            for l in range(L):
+                pre = f"h.{l}."
+                h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
+                qkv = h @ p[pre + "attn.c_attn.weight"].T \
+                    + p[pre + "attn.c_attn.bias"]
+                q, k, v = jnp.split(qkv, 3, axis=-1)             # (W, H*hd)
+                q = q.reshape(W, H, hd).transpose(1, 0, 2)       # (H, W, hd)
+                k = k.reshape(W, H, hd).transpose(1, 0, 2)
+                v = v.reshape(W, H, hd).transpose(1, 0, 2)
+                cache = cache.at[l, 0].set(k).at[l, 1].set(v)
+                scores = jnp.einsum("hqd,hkd->hqk", q, k) * scale
+                scores = jnp.where(causal, scores, -1e30)
+                att = jax.nn.softmax(scores, axis=-1) @ v        # (H, W, hd)
+                att = att.transpose(1, 0, 2).reshape(W, H * hd)
+                x = x + att @ p[pre + "attn.c_proj.weight"].T \
+                    + p[pre + "attn.c_proj.bias"]
+                h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
+                h2 = gelu(h2 @ p[pre + "c_fc.weight"].T + p[pre + "c_fc.bias"])
+                x = x + h2 @ p[pre + "c_proj.weight"].T + p[pre + "c_proj.bias"]
+            x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+            return cache, x[n_real - 1] @ p["wte.weight"].T
 
         from .decoding import ParamFn
 
@@ -404,6 +425,32 @@ class GPT(nn.Module):
         return generate_batch(self, prompts, max_new_tokens,
                               temperature=temperature, rng=rng, top_k=top_k,
                               top_p=top_p, eos_id=eos_id)
+
+    def generate_device(self, ids, max_new_tokens: int = 20,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 0.0, eos_id: int = None,
+                        seed: int = 0):
+        """Whole-generation-on-device decode: prefill + every step + the
+        sampling run inside ONE compiled program (models/decoding.py:
+        generate_device) -- one dispatch/readback per generation instead of
+        per token, the latency-optimal serving path."""
+        from .decoding import generate_device
+
+        return generate_device(self, list(ids), max_new_tokens,
+                               temperature=temperature, top_k=top_k,
+                               top_p=top_p, eos_id=eos_id, seed=seed)
+
+    def generate_batch_device(self, prompts, max_new_tokens: int = 20,
+                              temperature: float = 0.0, top_k: int = 0,
+                              top_p: float = 0.0, eos_id: int = None,
+                              seed: int = 0):
+        """Batched whole-generation-on-device decode (vmap of
+        generate_device): B prompts, one dispatch for everything."""
+        from .decoding import generate_batch_device
+
+        return generate_batch_device(self, prompts, max_new_tokens,
+                                     temperature=temperature, top_k=top_k,
+                                     top_p=top_p, eos_id=eos_id, seed=seed)
 
     @staticmethod
     def remap_hf_state(state: dict) -> dict:

@@ -431,7 +431,10 @@ class Llama(nn.Module):
         def init_cache():
             return jnp.zeros((L, 2, KV, W, hd), dtype=p["embed_tokens.weight"].dtype)
 
-        def prefill(p, cache, toks, n_real):
+        def prefill_scan(p, cache, toks, n_real):
+            """One-token-at-a-time prefill: kept for the routed-MoE variant,
+            whose per-token top-k expert gather does not vectorize over
+            positions without materializing (W, k, d, ff) expert stacks."""
             def body(c, inp):
                 pos, tok = inp
                 c, logits = step(p, c, pos, tok)
@@ -441,6 +444,57 @@ class Llama(nn.Module):
             cache, all_logits = jax.lax.scan(
                 body, cache, (jnp.arange(n, dtype=jnp.int32), toks))
             return cache, all_logits[n_real - 1]
+
+        def rope_all(x):
+            # x: (heads, W, hd); position i rotated by cos/sin row i
+            c, s_ = cos_w[None, :, :], sin_w[None, :, :]
+            x1, x2 = x[..., : hd // 2], x[..., hd // 2:]
+            return x * c + jnp.concatenate([-x2, x1], axis=-1) * s_
+
+        def prefill_bulk(p, cache, toks, n_real):
+            """Bulk prefill: the prompt forward runs PARALLEL over positions
+            (one (W, d) pass under the causal/sliding-window mask) and
+            writes every K/V row at once -- see gpt.py prefill for why this
+            replaces the W-sequential-steps scan."""
+            x = p["embed_tokens.weight"][toks]                   # (W, d)
+            if emb_scale is not None:
+                x = x * jnp.asarray(emb_scale, x.dtype)
+            ar = jnp.arange(W)
+            mask = ar[None, :] <= ar[:, None]                    # causal
+            if swin:
+                mask = jnp.logical_and(mask, ar[None, :] > ar[:, None] - swin)
+            mask = mask[None]                                    # (1, W, W)
+            for l in range(L):
+                pre = f"layers.{l}."
+                h = rms(x, p[pre + "input_layernorm.weight"])
+                q = h @ p[pre + "self_attn.q_proj.weight"].T
+                k = h @ p[pre + "self_attn.k_proj.weight"].T
+                v = h @ p[pre + "self_attn.v_proj.weight"].T
+                if att_bias:
+                    q = q + p[pre + "self_attn.q_proj.bias"]
+                    k = k + p[pre + "self_attn.k_proj.bias"]
+                    v = v + p[pre + "self_attn.v_proj.bias"]
+                q = rope_all(q.reshape(W, H, hd).transpose(1, 0, 2))
+                k = rope_all(k.reshape(W, KV, hd).transpose(1, 0, 2))
+                v = v.reshape(W, KV, hd).transpose(1, 0, 2)
+                cache = cache.at[l, 0].set(k).at[l, 1].set(v)
+                kr = jnp.repeat(k, rep, axis=0) if rep > 1 else k
+                vr = jnp.repeat(v, rep, axis=0) if rep > 1 else v
+                scores = jnp.einsum("hqd,hkd->hqk", q, kr) * scale
+                scores = jnp.where(mask, scores, -1e30)
+                att = jax.nn.softmax(scores, axis=-1) @ vr       # (H, W, hd)
+                att = att.transpose(1, 0, 2).reshape(W, H * hd)
+                x = x + att @ p[pre + "self_attn.o_proj.weight"].T
+                h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
+                g = h2 @ p[pre + "mlp.gate_proj.weight"].T
+                u = h2 @ p[pre + "mlp.up_proj.weight"].T
+                x = x + (act(g) * u) @ p[pre + "mlp.down_proj.weight"].T
+            x = rms(x, p["norm.weight"])
+            head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
+                    else p["lm_head.weight"])
+            return cache, x[n_real - 1] @ head.T
+
+        prefill = prefill_scan if n_exp else prefill_bulk
 
         from .decoding import ParamFn
 
@@ -457,6 +511,29 @@ class Llama(nn.Module):
         return generate_batch(self, prompts, max_new_tokens,
                               temperature=temperature, rng=rng, top_k=top_k,
                               top_p=top_p, eos_id=eos_id)
+
+    def generate_device(self, ids, max_new_tokens: int = 20,
+                        temperature: float = 0.0, top_k: int = 0,
+                        top_p: float = 0.0, eos_id: int = None,
+                        seed: int = 0):
+        """Whole-generation-on-device decode (models/decoding.py:
+        generate_device): one dispatch/readback per generation."""
+        from .decoding import generate_device
+
+        return generate_device(self, list(ids), max_new_tokens,
+                               temperature=temperature, top_k=top_k,
+                               top_p=top_p, eos_id=eos_id, seed=seed)
+
+    def generate_batch_device(self, prompts, max_new_tokens: int = 20,
+                              temperature: float = 0.0, top_k: int = 0,
+                              top_p: float = 0.0, eos_id: int = None,
+                              seed: int = 0):
+        """Batched whole-generation-on-device decode."""
+        from .decoding import generate_batch_device
+
+        return generate_batch_device(self, prompts, max_new_tokens,
+                                     temperature=temperature, top_k=top_k,
+                                     top_p=top_p, eos_id=eos_id, seed=seed)
 
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
                      top_k: int = 0, top_p: float = 0.0):

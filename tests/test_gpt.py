@@ -348,3 +348,71 @@ def test_kv_decode_program_excludes_weights():
     txt = prefill.jitted.lower(prefill.params, cache, toks, 3).as_text()
     param_bytes = sum(p.numel() for p in model.parameters()) * 4
     assert len(txt) < param_bytes / 4, (len(txt), param_bytes)
+
+
+def test_generate_device_greedy_matches_host_loop():
+    """The whole-generation-on-device program (prefill + lax.scan decode +
+    on-device argmax) emits exactly the host KV loop's greedy tokens, and
+    eos stopping trims identically."""
+    np.random.seed(33)
+    cfg = GPTConfig(vocab_size=61, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    model = GPT(cfg)
+    optim = light.optim.Adam(model.parameters(), lr=3e-3)
+    seq = (np.arange(31) * 5 % 61).astype(np.int32)
+    x = TpuTensor.from_numpy(seq[None, :-1], requires_grad=False)
+    y = TpuTensor.from_numpy(seq[1:], requires_grad=False)
+    for _ in range(8):
+        loss = light.loss.cross_entropy(
+            model(x).reshape(30, cfg.vocab_size), y)
+        optim.zero_grad(); loss.backward(); optim.step()
+
+    prompt = seq[:5].tolist()
+    want = model.generate(prompt, max_new_tokens=10, use_cache=True)
+    got = model.generate_device(prompt, max_new_tokens=10)
+    assert got == want, (got, want)
+
+    # eos stopping: the first greedy continuation token as eos
+    eos = want[len(prompt)]
+    want_eos = model.generate(prompt, max_new_tokens=10, eos_id=eos)
+    got_eos = model.generate_device(prompt, max_new_tokens=10, eos_id=eos)
+    assert got_eos == want_eos, (got_eos, want_eos)
+
+
+def test_generate_device_sampling_valid_and_seeded():
+    """Temperature/top-k/top-p on-device sampling: ids in range, same seed
+    reproduces, different seeds diverge (vocab-61 logits are not one-hot)."""
+    np.random.seed(34)
+    cfg = GPTConfig(vocab_size=61, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    model = GPT(cfg)
+    prompt = [3, 1, 4, 1, 5]
+    a = model.generate_device(prompt, max_new_tokens=10, temperature=0.9,
+                              top_k=7, top_p=0.9, seed=11)
+    b = model.generate_device(prompt, max_new_tokens=10, temperature=0.9,
+                              top_k=7, top_p=0.9, seed=11)
+    c = model.generate_device(prompt, max_new_tokens=10, temperature=0.9,
+                              top_k=7, top_p=0.9, seed=12)
+    assert a == b
+    assert a != c  # 10 draws over >=2-way nuclei: collision ~impossible
+    assert all(0 <= t < 61 for t in a[len(prompt):])
+    assert len(a) == len(prompt) + 10
+
+
+def test_generate_batch_device_matches_single_device():
+    """Batched (vmap) device generation equals the single-sequence device
+    program row by row (greedy), ragged prompts included."""
+    np.random.seed(35)
+    cfg = GPTConfig(vocab_size=48, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    m = GPT(cfg)
+    rng = np.random.default_rng(2)
+    prompts = [
+        [int(t) for t in rng.integers(0, 48, 3)],
+        [int(t) for t in rng.integers(0, 48, 7)],
+        [int(t) for t in rng.integers(0, 48, 5)],
+    ]
+    batched = m.generate_batch_device(prompts, max_new_tokens=6)
+    for pr, got in zip(prompts, batched):
+        want = m.generate_device(pr, max_new_tokens=6)
+        assert got == want, (got, want)

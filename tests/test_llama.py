@@ -122,3 +122,26 @@ def test_llama_generate_batch_matches_single():
     for pr, got in zip(prompts, batched):
         want = m.generate(pr, max_new_tokens=5, use_cache=True)
         assert [int(t) for t in got] == [int(t) for t in want], (got, want)
+
+
+def test_llama_generate_device_matches_host_loop():
+    """Whole-generation-on-device decode over the llama _kv_functions
+    contract (GQA + rotary): greedy tokens equal the host KV loop's,
+    single and batched."""
+    from lightgrad_tpu.models import Llama, LlamaConfig
+
+    np.random.seed(9)
+    cfg = LlamaConfig(vocab_size=48, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      intermediate_size=64, max_position_embeddings=32)
+    m = Llama(cfg)
+    rng = np.random.default_rng(4)
+    prompts = [[int(t) for t in rng.integers(0, 48, n)] for n in (3, 6)]
+    for pr in prompts:
+        want = m.generate(pr, max_new_tokens=5, use_cache=True)
+        got = m.generate_device(pr, max_new_tokens=5)
+        assert got == [int(t) for t in want], (got, want)
+    batched = m.generate_batch_device(prompts, max_new_tokens=5)
+    for pr, got in zip(prompts, batched):
+        want = m.generate_device(pr, max_new_tokens=5)
+        assert got == want
