@@ -355,14 +355,21 @@ def bench_attention_long(iters=10, bh=96, s=2048, d=64, dtype=None):
         (q, k, v), flops, iters)
 
 
-def bench_quant_linear(m=4096, k=4096, n=4096, iters=30, repeats=5):
+def bench_quant_linear(m=4096, k=4096, n=4096, iters=10, repeats=5, chain=8):
     """int8 serving GEMM: dynamic-activation QuantLinear vs the bf16 linear.
 
     The v5e int8 MXU path peaks at ~2x the bf16 TFLOPs and halves weight HBM
-    traffic; this measures the achieved end-to-end ratio through the fused
-    quant_linear op (quantize + int32-accumulate + float epilogue)."""
+    traffic; this measures the achieved in-program ratio through the fused
+    quant_linear op (quantize + int32-accumulate + float epilogue).  The
+    layer is CHAINED ``chain`` times inside one program (output feeds back
+    as the next activation; dynamic per-token scales renormalize each hop):
+    a single 4096-cube GEMM is ~1 ms, the same scale as per-program
+    dispatch through the tunnel, so unchained timings ranked dispatch, not
+    kernels (the gemm_chain_probe lesson -- a previous run of this stage
+    reported int8 == bf16 for exactly that reason)."""
     import jax.numpy as jnp
 
+    assert k == n, "chaining feeds the output back as the next input"
     np.random.seed(2)
     lin = nn.Linear(k, n, bias=False)
     x = light.uniform(-1, 1, (m, k)).astype(jnp.bfloat16).detach()
@@ -370,10 +377,24 @@ def bench_quant_linear(m=4096, k=4096, n=4096, iters=30, repeats=5):
     q = light.quant.QuantLinear.from_linear(lin)
 
     flops = 2 * m * k * n
-    fn_f = light.jit(lambda: lin(x))
-    dt_f, vals_f = time_median(lambda: fn_f().data, iters=iters, repeats=repeats)
-    fn_q = light.jit(lambda: q(x))
-    dt_q, vals_q = time_median(lambda: fn_q().data, iters=iters, repeats=repeats)
+
+    def chain_of(layer):
+        def run():
+            y = x
+            for _ in range(chain):
+                y = layer(y) * 0.03  # keep the residual stream bounded
+            return y
+        return run
+
+    fn_f = light.jit(chain_of(lin))
+    dt_f, vals_f = time_median(lambda: fn_f().data, iters=iters,
+                               repeats=repeats)
+    fn_q = light.jit(chain_of(q))
+    dt_q, vals_q = time_median(lambda: fn_q().data, iters=iters,
+                               repeats=repeats)
+    dt_f, dt_q = dt_f / chain, dt_q / chain
+    vals_f = [round(v / chain, 6) for v in vals_f]
+    vals_q = [round(v / chain, 6) for v in vals_q]
     return dt_f, vals_f, dt_q, vals_q, flops
 
 
