@@ -443,8 +443,18 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
     outs = model.generate_batch_device(prompts, max_new_tokens=new_tokens)
     dev_batch_s = time.time() - t0
     n_tok_dev = sum(len(o) - prompt_len for o in outs)
+
+    # int8 weight-only decode (quantize_serving): single-stream decode is
+    # HBM-bound on weight reads, so int8 storage ~1.5x's it in-run
+    model.quantize_serving()
+    model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
+    t0 = time.time()
+    out = model.generate_device(prompt, max_new_tokens=new_tokens)
+    q_single_s = time.time() - t0
+    assert len(out) == prompt_len + new_tokens
     return (new_tokens / single_s, n_tok / batch_s,
-            new_tokens / dev_single_s, n_tok_dev / dev_batch_s)
+            new_tokens / dev_single_s, n_tok_dev / dev_batch_s,
+            new_tokens / q_single_s)
 
 
 def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5, remat=False):
@@ -677,14 +687,16 @@ def main():
             f"{details['quant_linear_int8_tflops']} TF/s int8)")
 
     def st_decode():
-        tok_s, btok_s, dev_tok_s, dev_btok_s = bench_decode()
+        tok_s, btok_s, dev_tok_s, dev_btok_s, q_tok_s = bench_decode()
         details["decode_single_tok_s"] = round(tok_s, 1)
         details["decode_batch8_tok_s"] = round(btok_s, 1)
         details["decode_device_single_tok_s"] = round(dev_tok_s, 1)
         details["decode_device_batch8_tok_s"] = round(dev_btok_s, 1)
+        details["decode_device_int8_single_tok_s"] = round(q_tok_s, 1)
         err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
             f"{btok_s:.0f} tok/s aggregate batch-8; device-loop "
-            f"{dev_tok_s:.0f} tok/s single, {dev_btok_s:.0f} tok/s batch-8")
+            f"{dev_tok_s:.0f} tok/s single, {dev_btok_s:.0f} tok/s batch-8, "
+            f"int8 {q_tok_s:.0f} tok/s single")
 
     def st_gpt_8x512():
         dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()

@@ -287,6 +287,43 @@ class GPT(nn.Module):
                     p[f"h.{l}.{n}"] = arr
         # python float (weak-typed) so bf16 models stay bf16 end to end
         scale = float(1.0 / np.sqrt(hd))
+        cdt = p["wte.weight"].dtype
+
+        if getattr(self, "_serve_quant", False):
+            # int8 weight-only serving (quantize_serving()): decode is
+            # HBM-bound on weight reads (one token's GEMMs touch every
+            # parameter), so storing the 7 per-layer matrices + the lm head
+            # as per-output-channel symmetric int8 halves decode traffic
+            # vs bf16.  The int8->compute-dtype convert fuses into the
+            # dot's operand read; the (out,) scale lands on the GEMM
+            # output -- the full-precision weight never rematerializes.
+            big = [n for n in list(p)
+                   if n.endswith(".weight") and p[n].ndim == 2
+                   and n != "wte.weight" and not n.startswith("wpe")]
+            for n in big:
+                w = np.asarray(p.pop(n), np.float32)
+                ws = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0
+                p[n + "#q"] = jnp.asarray(
+                    np.clip(np.round(w / ws[:, None]), -127, 127), jnp.int8)
+                p[n + "#s"] = jnp.asarray(ws, cdt)
+            # the tied head reuses wte: quantize a separate serving copy
+            w = np.asarray(p["wte.weight"], np.float32)
+            ws = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0
+            p["head#q"] = jnp.asarray(
+                np.clip(np.round(w / ws[:, None]), -127, 127), jnp.int8)
+            p["head#s"] = jnp.asarray(ws, cdt)
+
+        def mm(h, p, name):
+            """h @ W.T where W may be stored int8 (weight-only serving)."""
+            q = p.get(name + "#q")
+            if q is None:
+                return h @ p[name].T
+            return (h @ q.T.astype(cdt)) * p[name + "#s"]
+
+        def head_mm(x, p):
+            if "head#q" in p:
+                return (x @ p["head#q"].T.astype(cdt)) * p["head#s"]
+            return x @ p["wte.weight"].T
 
         def ln(x, w, b):
             m = x.mean(-1, keepdims=True)
@@ -309,7 +346,8 @@ class GPT(nn.Module):
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
-                qkv = h @ p[pre + "attn.c_attn.weight"].T + p[pre + "attn.c_attn.bias"]
+                qkv = mm(h, p, pre + "attn.c_attn.weight") \
+                    + p[pre + "attn.c_attn.bias"]
                 q, k, v = [a.reshape(H, 1, hd) for a in jnp.split(qkv[0], 3)]
                 kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
                 vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
@@ -318,12 +356,15 @@ class GPT(nn.Module):
                 scores = jnp.where(pos_mask, scores, -1e30)
                 att = jax.nn.softmax(scores, axis=-1) @ vc           # (H, 1, hd)
                 att = att.transpose(1, 0, 2).reshape(1, H * hd)
-                x = x + att @ p[pre + "attn.c_proj.weight"].T + p[pre + "attn.c_proj.bias"]
+                x = x + mm(att, p, pre + "attn.c_proj.weight") \
+                    + p[pre + "attn.c_proj.bias"]
                 h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
-                h2 = gelu(h2 @ p[pre + "c_fc.weight"].T + p[pre + "c_fc.bias"])
-                x = x + h2 @ p[pre + "c_proj.weight"].T + p[pre + "c_proj.bias"]
+                h2 = gelu(mm(h2, p, pre + "c_fc.weight")
+                          + p[pre + "c_fc.bias"])
+                x = x + mm(h2, p, pre + "c_proj.weight") \
+                    + p[pre + "c_proj.bias"]
             x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
-            return cache, (x @ p["wte.weight"].T)[0]             # (vocab,)
+            return cache, head_mm(x, p)[0]                       # (vocab,)
 
         def init_cache():
             return jnp.zeros((L, 2, H, W, hd), dtype=p["wte.weight"].dtype)
@@ -343,7 +384,7 @@ class GPT(nn.Module):
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
-                qkv = h @ p[pre + "attn.c_attn.weight"].T \
+                qkv = mm(h, p, pre + "attn.c_attn.weight") \
                     + p[pre + "attn.c_attn.bias"]
                 q, k, v = jnp.split(qkv, 3, axis=-1)             # (W, H*hd)
                 q = q.reshape(W, H, hd).transpose(1, 0, 2)       # (H, W, hd)
@@ -354,13 +395,15 @@ class GPT(nn.Module):
                 scores = jnp.where(causal, scores, -1e30)
                 att = jax.nn.softmax(scores, axis=-1) @ v        # (H, W, hd)
                 att = att.transpose(1, 0, 2).reshape(W, H * hd)
-                x = x + att @ p[pre + "attn.c_proj.weight"].T \
+                x = x + mm(att, p, pre + "attn.c_proj.weight") \
                     + p[pre + "attn.c_proj.bias"]
                 h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
-                h2 = gelu(h2 @ p[pre + "c_fc.weight"].T + p[pre + "c_fc.bias"])
-                x = x + h2 @ p[pre + "c_proj.weight"].T + p[pre + "c_proj.bias"]
+                h2 = gelu(mm(h2, p, pre + "c_fc.weight")
+                          + p[pre + "c_fc.bias"])
+                x = x + mm(h2, p, pre + "c_proj.weight") \
+                    + p[pre + "c_proj.bias"]
             x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
-            return cache, x[n_real - 1] @ p["wte.weight"].T
+            return cache, head_mm(x[n_real - 1][None], p)[0]
 
         from .decoding import ParamFn
 
@@ -425,6 +468,19 @@ class GPT(nn.Module):
         return generate_batch(self, prompts, max_new_tokens,
                               temperature=temperature, rng=rng, top_k=top_k,
                               top_p=top_p, eos_id=eos_id)
+
+    def quantize_serving(self, enable: bool = True):
+        """int8 weight-only decode: store the per-layer matrices + lm head
+        of the compiled KV-decode programs as per-output-channel symmetric
+        int8.  Decode is HBM-bound on weight reads, so this roughly halves
+        per-token traffic vs bf16; training/forward paths are untouched.
+        Rebuilds the decode programs on the next generate call."""
+        self._serve_quant = bool(enable)
+        for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
+                     "_dev_gen_batch"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
 
     def generate_device(self, ids, max_new_tokens: int = 20,
                         temperature: float = 0.0, top_k: int = 0,

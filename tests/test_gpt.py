@@ -416,3 +416,39 @@ def test_generate_batch_device_matches_single_device():
     for pr, got in zip(prompts, batched):
         want = m.generate_device(pr, max_new_tokens=6)
         assert got == want, (got, want)
+
+
+def test_quantize_serving_matches_full_precision_decode():
+    """int8 weight-only decode: a briefly-trained tiny model emits the same
+    greedy tokens as the full-precision path (per-channel int8 keeps
+    relative weight error ~0.4%), and the quantized program's params carry
+    int8 buffers (traffic actually halved, not dequantized up front)."""
+    np.random.seed(44)
+    cfg = GPTConfig(vocab_size=61, n_positions=32, n_embd=32, n_layer=2,
+                    n_head=4)
+    model = GPT(cfg)
+    optim = light.optim.Adam(model.parameters(), lr=3e-3)
+    seq = (np.arange(31) * 5 % 61).astype(np.int32)
+    x = TpuTensor.from_numpy(seq[None, :-1], requires_grad=False)
+    y = TpuTensor.from_numpy(seq[1:], requires_grad=False)
+    for _ in range(10):
+        loss = light.loss.cross_entropy(
+            model(x).reshape(30, cfg.vocab_size), y)
+        optim.zero_grad(); loss.backward(); optim.step()
+
+    prompt = seq[:5].tolist()
+    want = model.generate_device(prompt, max_new_tokens=8)
+    model.quantize_serving()
+    got = model.generate_device(prompt, max_new_tokens=8)
+    assert got == want, (got, want)
+    # int8 actually stored in the serving params
+    import jax.numpy as jnp
+    qkeys = [k for k in model._kv_fns[1].params if k.endswith("#q")]
+    assert qkeys and all(
+        model._kv_fns[1].params[k].dtype == jnp.int8 for k in qkeys)
+    # host-loop path uses the same programs
+    got_host = model.generate(prompt, max_new_tokens=8, use_cache=True)
+    assert got_host == want, (got_host, want)
+    # back to full precision
+    model.quantize_serving(False)
+    assert model.generate_device(prompt, max_new_tokens=8) == want
