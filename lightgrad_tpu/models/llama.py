@@ -348,6 +348,42 @@ class Llama(nn.Module):
         topk = getattr(cfg, "num_experts_per_tok", 2)
         att_bias = getattr(cfg, "attention_bias", False)
 
+        if getattr(self, "_serve_quant", False):
+            # int8 weight-only serving (quantize_serving(), see gpt.py):
+            # per-output-channel symmetric int8 for every 2-D projection
+            # except the embedding (gather path) and the MoE router (its
+            # argmax-ish decisions are quantization-sensitive); the tied or
+            # untied head gets its own int8 copy.
+            big = [n for n in list(p)
+                   if n.endswith(".weight") and p[n].ndim == 2
+                   and n != "embed_tokens.weight" and "router" not in n]
+            for n in big:
+                w = np.asarray(p.pop(n), np.float32)
+                ws = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0
+                p[n + "#q"] = jnp.asarray(
+                    np.clip(np.round(w / ws[:, None]), -127, 127), jnp.int8)
+                p[n + "#s"] = jnp.asarray(ws, cdt)
+            if cfg.tie_word_embeddings:
+                w = np.asarray(p["embed_tokens.weight"], np.float32)
+                ws = np.maximum(np.abs(w).max(axis=1), 1e-8) / 127.0
+                p["head#q"] = jnp.asarray(
+                    np.clip(np.round(w / ws[:, None]), -127, 127), jnp.int8)
+                p["head#s"] = jnp.asarray(ws, cdt)
+
+        def mm(h, p, name):
+            """h @ W.T where W may be stored int8 (weight-only serving)."""
+            q = p.get(name + "#q")
+            if q is None:
+                return h @ p[name].T
+            return (h @ q.T.astype(cdt)) * p[name + "#s"]
+
+        def head_mm(x, p):
+            if cfg.tie_word_embeddings:
+                if "head#q" in p:
+                    return (x @ p["head#q"].T.astype(cdt)) * p["head#s"]
+                return x @ p["embed_tokens.weight"].T
+            return mm(x, p, "lm_head.weight")
+
         def rms(x, w):
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             return x * jax.lax.rsqrt(var + eps) * (w + off if off else w)
@@ -381,9 +417,9 @@ class Llama(nn.Module):
             for l in range(L):
                 pre = f"layers.{l}."
                 h = rms(x, p[pre + "input_layernorm.weight"])
-                q = h @ p[pre + "self_attn.q_proj.weight"].T
-                k = h @ p[pre + "self_attn.k_proj.weight"].T
-                v = h @ p[pre + "self_attn.v_proj.weight"].T
+                q = mm(h, p, pre + "self_attn.q_proj.weight")
+                k = mm(h, p, pre + "self_attn.k_proj.weight")
+                v = mm(h, p, pre + "self_attn.v_proj.weight")
                 if att_bias:
                     q = q + p[pre + "self_attn.q_proj.bias"]
                     k = k + p[pre + "self_attn.k_proj.bias"]
@@ -401,7 +437,7 @@ class Llama(nn.Module):
                 scores = jnp.where(pos_mask, scores, -1e30)
                 att = jax.nn.softmax(scores, axis=-1) @ vr       # (H, 1, hd)
                 att = att.transpose(1, 0, 2).reshape(1, H * hd)
-                x = x + att @ p[pre + "self_attn.o_proj.weight"].T
+                x = x + mm(att, p, pre + "self_attn.o_proj.weight")
                 h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
                 if n_exp:
                     # Mixtral routed FFN for ONE token: softmax over all
@@ -419,14 +455,12 @@ class Llama(nn.Module):
                     y = jnp.einsum("ktf,kfd->ktd", act(g) * u, w2)
                     x = x + jnp.einsum("k,ktd->td", gates, y)
                 else:
-                    g = h2 @ p[pre + "mlp.gate_proj.weight"].T
-                    u = h2 @ p[pre + "mlp.up_proj.weight"].T
-                    x = x + (act(g) * u) \
-                        @ p[pre + "mlp.down_proj.weight"].T
+                    g = mm(h2, p, pre + "mlp.gate_proj.weight")
+                    u = mm(h2, p, pre + "mlp.up_proj.weight")
+                    x = x + mm(act(g) * u,
+                               p, pre + "mlp.down_proj.weight")
             x = rms(x, p["norm.weight"])
-            head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
-                    else p["lm_head.weight"])
-            return cache, (x @ head.T)[0]
+            return cache, head_mm(x, p)[0]
 
         def init_cache():
             return jnp.zeros((L, 2, KV, W, hd), dtype=p["embed_tokens.weight"].dtype)
@@ -467,9 +501,9 @@ class Llama(nn.Module):
             for l in range(L):
                 pre = f"layers.{l}."
                 h = rms(x, p[pre + "input_layernorm.weight"])
-                q = h @ p[pre + "self_attn.q_proj.weight"].T
-                k = h @ p[pre + "self_attn.k_proj.weight"].T
-                v = h @ p[pre + "self_attn.v_proj.weight"].T
+                q = mm(h, p, pre + "self_attn.q_proj.weight")
+                k = mm(h, p, pre + "self_attn.k_proj.weight")
+                v = mm(h, p, pre + "self_attn.v_proj.weight")
                 if att_bias:
                     q = q + p[pre + "self_attn.q_proj.bias"]
                     k = k + p[pre + "self_attn.k_proj.bias"]
@@ -484,15 +518,13 @@ class Llama(nn.Module):
                 scores = jnp.where(mask, scores, -1e30)
                 att = jax.nn.softmax(scores, axis=-1) @ vr       # (H, W, hd)
                 att = att.transpose(1, 0, 2).reshape(W, H * hd)
-                x = x + att @ p[pre + "self_attn.o_proj.weight"].T
+                x = x + mm(att, p, pre + "self_attn.o_proj.weight")
                 h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
-                g = h2 @ p[pre + "mlp.gate_proj.weight"].T
-                u = h2 @ p[pre + "mlp.up_proj.weight"].T
-                x = x + (act(g) * u) @ p[pre + "mlp.down_proj.weight"].T
+                g = mm(h2, p, pre + "mlp.gate_proj.weight")
+                u = mm(h2, p, pre + "mlp.up_proj.weight")
+                x = x + mm(act(g) * u, p, pre + "mlp.down_proj.weight")
             x = rms(x, p["norm.weight"])
-            head = (p["embed_tokens.weight"] if cfg.tie_word_embeddings
-                    else p["lm_head.weight"])
-            return cache, x[n_real - 1] @ head.T
+            return cache, head_mm(x[n_real - 1][None], p)[0]
 
         prefill = prefill_scan if n_exp else prefill_bulk
 
@@ -511,6 +543,17 @@ class Llama(nn.Module):
         return generate_batch(self, prompts, max_new_tokens,
                               temperature=temperature, rng=rng, top_k=top_k,
                               top_p=top_p, eos_id=eos_id)
+
+    def quantize_serving(self, enable: bool = True):
+        """int8 weight-only decode (see gpt.py): per-output-channel int8
+        projections in the compiled KV programs; embedding gather and the
+        MoE router stay full-precision.  Rebuilds on next generate."""
+        self._serve_quant = bool(enable)
+        for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
+                     "_dev_gen_batch"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
 
     def generate_device(self, ids, max_new_tokens: int = 20,
                         temperature: float = 0.0, top_k: int = 0,

@@ -145,3 +145,36 @@ def test_llama_generate_device_matches_host_loop():
     for pr, got in zip(prompts, batched):
         want = m.generate_device(pr, max_new_tokens=5)
         assert got == want
+
+
+def test_llama_quantize_serving_matches_full_precision():
+    """int8 weight-only llama decode (GQA + rotary + untied head): greedy
+    parity with the full-precision compiled path on a trained tiny model;
+    the embedding stays full-precision (gather path)."""
+    from lightgrad_tpu.models import Llama, LlamaConfig
+    import lightgrad_tpu as light
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(10)
+    cfg = LlamaConfig(vocab_size=48, hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=2,
+                      intermediate_size=64, max_position_embeddings=32)
+    m = Llama(cfg)
+    optim = light.optim.Adam(m.parameters(), lr=3e-3)
+    seq = (np.arange(31) * 7 % 48).astype(np.int32)
+    x = TpuTensor.from_numpy(seq[None, :-1], requires_grad=False)
+    y = TpuTensor.from_numpy(seq[1:], requires_grad=False)
+    for _ in range(8):
+        loss = light.loss.cross_entropy(m(x).reshape(30, 48), y)
+        optim.zero_grad(); loss.backward(); optim.step()
+
+    prompt = seq[:5].tolist()
+    want = m.generate_device(prompt, max_new_tokens=6)
+    m.quantize_serving()
+    got = m.generate_device(prompt, max_new_tokens=6)
+    assert got == want, (got, want)
+    import jax.numpy as jnp
+    params = m._kv_fns[1].params
+    qkeys = [k for k in params if k.endswith("#q")]
+    assert qkeys and all(params[k].dtype == jnp.int8 for k in qkeys)
+    assert "embed_tokens.weight" in params  # gather stays full precision
