@@ -1,7 +1,8 @@
 from .bert import BertConfig, BertModel, BertForMaskedLM, BertTokenizer
 from .gpt import GPTConfig, GPT, GPT2Tokenizer, ByteTokenizer
 from .llama import LlamaConfig, Llama, RMSNorm, LlamaTokenizer
-from .decoding import beam_search, generate_batch
+from .decoding import (beam_search, generate_batch, generate_speculative,
+                       generate_speculative_device)
 from .resnet import ResNet, BasicBlock, resnet20, resnet18
 from .vit import ViTConfig, ViTModel, ViTForImageClassification
 from .diffusion import UNet, Diffusion

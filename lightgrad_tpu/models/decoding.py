@@ -18,7 +18,8 @@ infill, ``/root/reference/examples/bert.py:374-383``).
 import numpy as np
 
 __all__ = ["beam_search", "generate_batch", "generate_speculative",
-           "generate_device", "generate_batch_device", "ParamFn"]
+           "generate_speculative_device", "generate_device",
+           "generate_batch_device", "ParamFn"]
 
 
 class ParamFn:
@@ -459,6 +460,173 @@ def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
         if eos_id is not None and eos_id in new:
             return out[: out.index(eos_id, len(ids)) + 1]
     return out
+
+
+def _build_device_spec(model, draft, k: int, max_new_tokens: int,
+                       temperature: float, eos_id):
+    """ONE pure function running an ENTIRE speculative generation on device.
+
+    ``generate_speculative`` pays k draft dispatches + 1 verify dispatch +
+    host accept logic PER ROUND -- through a tunneled chip those round-trips,
+    not compute, dominate.  Here both prefills, every draft proposal scan,
+    every verify scan, and the accept/resample rule run inside one compiled
+    program (``lax.while_loop`` over rounds), so the host sees only the
+    final token buffer.
+
+    Greedy (``temperature<=0``): longest-matching-prefix acceptance -- the
+    output is bit-exact plain greedy decoding of the target.  Sampled: the
+    Leviathan et al. rejection rule (accept w.p. min(1, p_t/p_d), resample
+    the residual on rejection, bonus-sample when all k accepted), evaluated
+    in f32 on device; every emitted token's marginal law is the target's
+    tempered softmax (Monte Carlo-tested against ``speculative_accept``).
+
+    Returns ``run(p_t, p_d, t_cache, d_cache, toks_t, toks_d, n_real, key)
+    -> (buf, n)`` where ``buf[:min(n, max_new_tokens)]`` are the generated
+    ids.  The buffer carries ``k`` slack slots: a round may emit up to k+1
+    tokens while ``n < max_new_tokens`` still holds at entry; the tail past
+    ``n`` is overwritten-or-garbage by construction and trimmed host-side.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    t_init, t_prefill, t_step = model._kv_fns
+    d_init, d_prefill, d_step = draft._kv_fns
+    eos = jnp.int32(-1 if eos_id is None else eos_id)
+    greedy = temperature <= 0.0
+    BUF = max_new_tokens + k
+
+    def run(pt, pd, t_cache, d_cache, toks_t, toks_d, n_real, key):
+        t_cache, t_logits = t_prefill.fn(pt, t_cache, toks_t, n_real)
+        d_cache, _ = d_prefill.fn(pd, d_cache, toks_d, n_real)
+        key, sub = jax.random.split(key)
+        first = _device_sample(t_logits, sub, temperature, 0, 0.0)
+        out = jnp.zeros((BUF,), jnp.int32).at[0].set(first)
+        done0 = first == eos
+
+        def cond(c):
+            _, _, _, n, _, _, done = c
+            return (n < max_new_tokens) & ~done
+
+        def body(c):
+            t_cache, d_cache, out, n, last, key, done = c
+            pos = n_real.astype(jnp.int32) + n - 1  # abs position of `last`
+
+            def dbody(carry, i):
+                d_cache, tok, key = carry
+                d_cache, dl = d_step.fn(pd, d_cache, pos + i, tok)
+                if greedy:
+                    nxt = jnp.argmax(dl).astype(jnp.int32)
+                else:
+                    key, sub = jax.random.split(key)
+                    nxt = jax.random.categorical(
+                        sub, dl.astype(jnp.float32) / temperature
+                    ).astype(jnp.int32)
+                return (d_cache, nxt, key), (nxt, dl)
+
+            (d_cache, _, key), (props, dlogits) = jax.lax.scan(
+                dbody, (d_cache, last, key), jnp.arange(k, dtype=jnp.int32))
+
+            # target scores all k+1 positions: feed [last, props[:-1]...k]
+            vt = jnp.concatenate([last[None], props])
+
+            def tbody(cache, inp):
+                i, tok = inp
+                cache, lg = t_step.fn(pt, cache, pos + i, tok)
+                return cache, lg
+
+            t_cache, trows = jax.lax.scan(
+                tbody, t_cache, (jnp.arange(k + 1, dtype=jnp.int32), vt))
+
+            if greedy:
+                preds = jnp.argmax(trows, axis=-1).astype(jnp.int32)
+                matches = props == preds[:k]
+                m = jnp.where(jnp.all(matches), k,
+                              jnp.argmin(matches)).astype(jnp.int32)
+                emit = jnp.concatenate(
+                    [props, jnp.zeros((1,), jnp.int32)]).at[m].set(preds[m])
+            else:
+                tp = jax.nn.softmax(
+                    trows.astype(jnp.float32) / temperature, axis=-1)
+                dp = jax.nn.softmax(
+                    dlogits.astype(jnp.float32) / temperature, axis=-1)
+                key, su, s1, s2 = jax.random.split(key, 4)
+                us = jax.random.uniform(su, (k,))
+                arange_k = jnp.arange(k)
+                px_t = tp[arange_k, props]
+                px_d = dp[arange_k, props]
+                accept = us < jnp.minimum(1.0, px_t / jnp.maximum(px_d, 1e-20))
+                m = jnp.where(jnp.all(accept), k,
+                              jnp.argmin(accept)).astype(jnp.int32)
+                # rejection at m<k: resample the residual max(p_t - p_d, 0);
+                # degenerate all-zero residual keeps the proposal (identical
+                # distributions cannot truly reject -- f32 guard only)
+                mr = jnp.minimum(m, k - 1)
+                resid = jnp.maximum(tp[mr] - dp[mr], 0.0)
+                rtok = jax.random.categorical(
+                    s1, jnp.log(jnp.maximum(resid, 1e-38))).astype(jnp.int32)
+                rtok = jnp.where(resid.sum() > 0, rtok, props[mr])
+                # all k accepted: free bonus token from the target's k-th row
+                btok = jax.random.categorical(
+                    s2, jnp.log(jnp.maximum(tp[k], 1e-38))).astype(jnp.int32)
+                corr = jnp.where(m == k, btok, rtok)
+                emit = jnp.concatenate(
+                    [props, jnp.zeros((1,), jnp.int32)]).at[m].set(corr)
+
+            # emit[:m+1] are real; the tail is garbage that the next round's
+            # write (starting at n+m+1) overwrites, or the host trims
+            out = jax.lax.dynamic_update_slice(out, emit, (n,))
+            done = done | jnp.any((emit == eos) & (jnp.arange(k + 1) <= m))
+            return (t_cache, d_cache, out, n + m + 1, emit[m], key, done)
+
+        carry = (t_cache, d_cache, out, jnp.int32(1), first, key, done0)
+        t_cache, d_cache, out, n, last, key, done = jax.lax.while_loop(
+            cond, body, carry)
+        return out, n
+
+    return run
+
+
+def generate_speculative_device(model, draft, ids, max_new_tokens: int,
+                                k: int = 4, temperature: float = 0.0,
+                                eos_id: int = None, seed: int = 0):
+    """Whole-generation speculative decoding in ONE device program (see
+    ``_build_device_spec``): ONE dispatch and ONE readback for the entire
+    draft-accelerated generation.  Greedy output is bit-exact vs
+    ``generate_device(model, ...)``; sampled output is marginally exact.
+
+    Both models must share a vocabulary.  Returns prompt + generated ids.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    assert k >= 1, "need at least one draft proposal per round"
+    Wt, Wd = _window(model), _window(draft)
+    ids = [int(t) for t in ids]
+    # + k: a verify scan can write up to k rows past the final accepted
+    # position; they must stay inside both windows
+    assert len(ids) + max_new_tokens + k <= min(Wt, Wd), (
+        len(ids), max_new_tokens, k, Wt, Wd)
+    for m in (model, draft):
+        if not hasattr(m, "_kv_fns"):
+            m._kv_fns = m._kv_functions()
+    sig = ("dev_spec", k, max_new_tokens, temperature, eos_id, id(draft))
+    cached = getattr(model, "_dev_spec", None)
+    if cached is None or cached[0] != sig:
+        run = _build_device_spec(model, draft, k, max_new_tokens,
+                                 temperature, eos_id)
+        model._dev_spec = (sig, jax.jit(run))
+    _, run = model._dev_spec
+
+    t_init, t_prefill, _ = model._kv_fns
+    d_init, d_prefill, _ = draft._kv_fns
+    arr = np.asarray(ids, np.int32)
+    toks_t = jnp.asarray(np.pad(arr, (0, Wt - len(ids))))
+    toks_d = jnp.asarray(np.pad(arr, (0, Wd - len(ids))))
+    buf, n = run(t_prefill.params, d_prefill.params, t_init(), d_init(),
+                 toks_t, toks_d, jnp.int32(len(ids)),
+                 jax.random.PRNGKey(seed))
+    new = np.asarray(buf)[: min(int(n), max_new_tokens)]
+    return list(ids) + _trim_eos(new, eos_id)
 
 
 def speculative_accept(p_draft, p_target, proposed, rng):

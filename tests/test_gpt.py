@@ -452,3 +452,93 @@ def test_quantize_serving_matches_full_precision_decode():
     # back to full precision
     model.quantize_serving(False)
     assert model.generate_device(prompt, max_new_tokens=8) == want
+
+
+def test_speculative_device_exact():
+    """Whole-generation-on-device speculative decode (ONE program: draft
+    scan + verify scan + accept rule in a lax.while_loop) is bit-exact vs
+    plain greedy decoding, for a disagreeing draft, draft == target, and
+    with eos stopping."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.models.decoding import generate_speculative_device
+
+    np.random.seed(0)
+    target = GPT(GPTConfig(vocab_size=48, n_positions=64, n_embd=32,
+                           n_layer=2, n_head=4))
+    np.random.seed(123)  # different weights: draft disagrees often
+    draft = GPT(GPTConfig(vocab_size=48, n_positions=64, n_embd=16,
+                          n_layer=1, n_head=2))
+    rng = np.random.default_rng(3)
+    ids = [int(t) for t in rng.integers(0, 48, 5)]
+    want = [int(t) for t in target.generate(ids, max_new_tokens=12,
+                                            use_cache=True)]
+    got = generate_speculative_device(target, draft, ids,
+                                      max_new_tokens=12, k=3)
+    assert got == want, (got, want)
+
+    # draft == target: every proposal accepted, same exact output
+    got2 = generate_speculative_device(target, target, ids,
+                                       max_new_tokens=12, k=3)
+    assert got2 == want
+
+    # eos stopping parity
+    eos = want[len(ids) + 2]
+    want_e = [int(t) for t in target.generate(ids, max_new_tokens=12,
+                                              use_cache=True, eos_id=eos)]
+    got_e = generate_speculative_device(target, draft, ids,
+                                        max_new_tokens=12, k=3, eos_id=eos)
+    assert got_e == want_e, (got_e, want_e)
+
+
+def test_speculative_device_sampled_marginal_law():
+    """vmapped Monte Carlo: the on-device rejection/residual/bonus rule's
+    output law equals plain on-device target sampling (joint law over the
+    first two generated tokens), for an adversarially different draft --
+    8192 lanes in ONE dispatch per method."""
+    import jax
+    import jax.numpy as jnp
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.models.decoding import (_build_device_gen,
+                                               _build_device_spec)
+
+    V = 8
+    np.random.seed(1)
+    target = GPT(GPTConfig(vocab_size=V, n_positions=16, n_embd=16,
+                           n_layer=1, n_head=2))
+    np.random.seed(42)
+    draft = GPT(GPTConfig(vocab_size=V, n_positions=16, n_embd=8,
+                          n_layer=1, n_head=1))
+    for m in (target, draft):
+        m._kv_fns = m._kv_functions()
+    t_init, t_prefill, _ = target._kv_fns
+    d_init, d_prefill, _ = draft._kv_fns
+
+    ids, temp, N = [1, 3], 0.9, 8192
+    toks = jnp.asarray(np.pad(np.asarray(ids, np.int32),
+                              (0, 16 - len(ids))))
+
+    spec = _build_device_spec(target, draft, k=2, max_new_tokens=2,
+                              temperature=temp, eos_id=None)
+    keys = jax.random.split(jax.random.PRNGKey(0), N)
+    bufs, _ = jax.jit(jax.vmap(
+        spec, in_axes=(None, None, None, None, None, None, None, 0)))(
+        t_prefill.params, d_prefill.params, t_init(), d_init(),
+        toks, toks, jnp.int32(len(ids)), keys)
+    got = np.asarray(bufs)[:, :2]
+
+    gen = _build_device_gen(target, 2, temp, 0, 0.0, None)
+    keys2 = jax.random.split(jax.random.PRNGKey(99), N)
+    want_toks = jax.jit(jax.vmap(gen, in_axes=(None, None, None, None, 0)))(
+        t_prefill.params, t_init(), toks, jnp.int32(len(ids)), keys2)
+    want = np.asarray(want_toks)[:, :2]
+
+    for arr in (got, want):
+        assert arr.min() >= 0 and arr.max() < V
+
+    def joint(a):
+        h = np.zeros((V, V))
+        for t1, t2 in a:
+            h[t1, t2] += 1
+        return h / len(a)
+
+    np.testing.assert_allclose(joint(got), joint(want), atol=0.03)
