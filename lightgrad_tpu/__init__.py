@@ -7,6 +7,16 @@ training steps can be fused into single XLA programs with
 :func:`lightgrad_tpu.jit`.
 """
 
+import os as _os
+
+# Silence XLA C++ ERROR-level log flood before jaxlib loads: the XLA:CPU
+# AOT cache loader prints one multi-KB machine-feature message per cache
+# hit (cpu_aot_loader.cc) even though the entry loads and runs fine --
+# with the persistent compile cache on (ops/runtime.py) that is thousands
+# of lines per warm run.  Python exceptions still surface XLA failures;
+# export TF_CPP_MIN_LOG_LEVEL yourself to override.
+_os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 from . import data, loss, nn, optim, autograd
 from .autograd import (
     Tensor,
