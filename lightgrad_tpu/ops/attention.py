@@ -191,7 +191,14 @@ def _lens_spec():
 
 
 def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None, window=0):
-    """q, k, v: (B, S, D) -> (out (B, S, D), lse (B, S, 1)).
+    """q: (B, S, D), k, v: (B/G, S, D) -> (out (B, S, D), lse (B, S, 1)).
+
+    Grouped-query aware: when q carries G x the rows of k/v (GQA -- query
+    head h reads KV head h // G, the kv-major head layout), the k/v
+    BlockSpec index maps serve each group of G query rows from ONE K/V row
+    -- no gather-expanded (B, S, D) K/V copy ever exists in HBM
+    (models/llama.py r3 expanded via jnp.repeat: x(H/KV) K/V traffic and a
+    scatter-add backward).
 
     ``vma``: mesh axes the outputs vary over -- required when called inside
     a vma-checked ``shard_map`` (ring attention blocks).  ``lengths``:
@@ -199,10 +206,13 @@ def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None, window=0):
     key columns are masked from every softmax and padded query rows output
     zeros."""
     b, s, d = q.shape
+    groups = b // k.shape[0]
+    assert b == k.shape[0] * groups, (q.shape, k.shape)
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
     row = lambda h, i, j: (h, i, 0)
-    col = lambda h, i, j: (h, j, 0)
+    col = ((lambda h, i, j: (h // groups, j, 0)) if groups > 1
+           else (lambda h, i, j: (h, j, 0)))
     sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
     have_lens = lengths is not None
     in_specs = [
@@ -337,15 +347,21 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
-                    scale, nq, bk, bq, s, causal, have_lens=False, window=0):
+                    scale, nq, nq_inner, bk, bq, s, causal, have_lens=False,
+                    window=0):
+    """``nq`` is the TOTAL inner-grid length; under GQA it is
+    groups * nq_inner -- the inner index walks the (query head of the
+    group, q block) pairs, so ``qb`` (the mask-relevant q-block index
+    within one head's sequence) is ``it % nq_inner``."""
     if have_lens:
         lens_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
         dk_ref, dv_ref, dk_acc, dv_acc = rest
-    kb, qb = pl.program_id(1), pl.program_id(2)
+    kb, it = pl.program_id(1), pl.program_id(2)
+    qb = it % nq_inner
     limit = lens_ref[0, 0] if have_lens else s
 
-    @pl.when(qb == 0)
+    @pl.when(it == 0)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -369,7 +385,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dcap_ref, *rest,
     else:
         _compute()
 
-    @pl.when(qb == nq - 1)
+    @pl.when(it == nq - 1)
     def _():
         dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
@@ -446,6 +462,8 @@ def set_flash_bwd_blocks(dq=None, dkv=None):
 def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
                lengths=None, window=0):
     b, s, d = q.shape
+    groups = b // k.shape[0]
+    assert b == k.shape[0] * groups, (q.shape, k.shape)
     bq, bk = _attn_blocks(s)
     nq, nk = cdiv(s, bq), cdiv(s, bk)
     # D_i = rowsum(dO * O): one cheap fused elementwise+reduce in XLA.
@@ -456,8 +474,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
         dcap = dcap - dlse.astype(jnp.float32)
 
     have_lens = lengths is not None
-    if _FUSED_BWD and not have_lens and not window:
-        # lengths/window stay on the two-pass scheme (the measured
+    if _FUSED_BWD and not have_lens and not window and groups == 1:
+        # lengths/window/GQA stay on the two-pass scheme (the measured
         # production winner; the fused A/B variant is kept plain)
         return _flash_bwd_fused(g, q, k, v, lse, dcap, scale, causal, vma=vma)
 
@@ -468,7 +486,8 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
     bq1, bk1 = _BWD_DQ_BLOCKS or (bq, bk)
     nq1, nk1 = cdiv(s, bq1), cdiv(s, bk1)
     row = lambda h, i, j: (h, i, 0)
-    col = lambda h, i, j: (h, j, 0)
+    col = ((lambda h, i, j: (h // groups, j, 0)) if groups > 1
+           else (lambda h, i, j: (h, j, 0)))
     row_spec = lambda w: pl.BlockSpec((1, bq1, w), row, memory_space=pltpu.VMEM)
     col_spec = lambda w: pl.BlockSpec((1, bk1, w), col, memory_space=pltpu.VMEM)
     in_specs = [row_spec(d), col_spec(d), col_spec(d), row_spec(d),
@@ -489,10 +508,15 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
         interpret=interpret(),
     )(*args)
 
-    # second pass: swap the roles -- k blocks are resident, q streams
+    # second pass: swap the roles -- k blocks are resident, q streams.
+    # GQA: the grid batches over KV rows and the inner index walks the
+    # (group, q block) pairs of that KV head -- dk/dv accumulate over ALL
+    # G query heads in VMEM scratch and come out (B/G, S, D) directly (the
+    # gather-expand path needed an XLA scatter-add to get there).
     bq2, bk2 = _BWD_DKV_BLOCKS or (bq, bk)
     nq2, nk2 = cdiv(s, bq2), cdiv(s, bk2)
-    krow = lambda h, j, i: (h, i, 0)
+    bkv = k.shape[0]
+    krow = lambda h, j, i: (h * groups + i // nq2, i % nq2, 0)
     kcol = lambda h, j, i: (h, j, 0)
     q_spec = lambda w: pl.BlockSpec((1, bq2, w), krow, memory_space=pltpu.VMEM)
     k_spec = lambda w: pl.BlockSpec((1, bk2, w), kcol, memory_space=pltpu.VMEM)
@@ -500,19 +524,20 @@ def _flash_bwd(g, q, k, v, out, lse, scale, causal, dlse=None, vma=None,
                 q_spec(1)]
     args = [q, k, v, g, lse, dcap]
     if have_lens:
-        in_specs.append(pl.BlockSpec((1, 1), lambda h, j, i: (h, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1), lambda h, j, i: (h * groups + i // nq2, 0),
+            memory_space=pltpu.VMEM))
         args.append(lens2d)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, nq=nq2, bk=bk2,
-                          bq=bq2, s=s, causal=causal, have_lens=have_lens,
-                          window=window),
-        grid=(b, nk2, nq2),
+        functools.partial(_bwd_dkv_kernel, scale=scale, nq=groups * nq2,
+                          nq_inner=nq2, bk=bk2, bq=bq2, s=s, causal=causal,
+                          have_lens=have_lens, window=window),
+        grid=(bkv, nk2, groups * nq2),
         in_specs=in_specs,
         out_specs=[k_spec(d), k_spec(d)],
         out_shape=[
-            sds((b, s, d), k.dtype),
-            sds((b, s, d), v.dtype),
+            sds((bkv, s, d), k.dtype),
+            sds((bkv, s, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk2, d), jnp.float32),
@@ -545,12 +570,19 @@ def _len_masks(lengths, b, s):
 
 def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
                    lengths=None, window=0):
-    shape = q.shape  # (..., S, D)
+    shape = q.shape  # (..., S, D); k/v may carry fewer heads (GQA)
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
-    q3, k3, v3 = (x.reshape(b, s, d) for x in (q, k, v))
+    bkv = prod(k.shape[:-2])
+    groups = b // bkv
+    q3 = q.reshape(b, s, d)
+    k3, v3 = (x.reshape(bkv, s, d) for x in (k, v))
     if mode == "xla":
-        scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
+        # grouped form: the g axis is a free lhs dim, so XLA lowers this to
+        # one batched GEMM per KV head WITHOUT materializing repeated K/V
+        q4 = q3.reshape(bkv, groups, s, d)
+        scores = jnp.einsum("bgqd,bkd->bgqk", q4, k3,
+                            precision=_prec_for(q4, k3)) * scale
         if causal:
             # cast the mask to the score dtype: an f32 mask would silently
             # upcast scores -- and through the residual stream the ENTIRE
@@ -558,20 +590,22 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
             scores = scores + _causal_mask(s, window).astype(scores.dtype)
         if lengths is not None:
             colm, rowv = _len_masks(lengths, b, s)
+            colm = colm.reshape(bkv, groups, 1, s)
+            rowv = rowv.reshape(bkv, groups, s, 1)
             scores = scores + colm.astype(scores.dtype)
         p = jax.nn.softmax(scores, axis=-1)
         if lengths is not None:
             # padded query rows softmaxed all -NEG_INF -> NaN: zero them
             # (same contract as the pallas path)
             p = jnp.where(rowv, p, 0.0).astype(p.dtype)
-        out = jnp.einsum("bqk,bkd->bqd", p, v3, precision=_prec_for(v3)
+        out = jnp.einsum("bgqk,bkd->bgqd", p, v3, precision=_prec_for(v3)
                          ).reshape(shape)
         if not with_res:
             return out
         lse = jax.scipy.special.logsumexp(scores, axis=-1, keepdims=True)
         if lengths is not None:
             lse = jnp.where(rowv, lse, 0.0)
-        return out, lse
+        return out, lse.reshape(b, s, 1)
     out, lse = _flash_fwd(q3, k3, v3, scale, causal, lengths=lengths,
                           window=window)
     return (out.reshape(shape), lse) if with_res else out.reshape(shape)
@@ -579,30 +613,38 @@ def _attn_fwd_impl(q, k, v, scale, mode, causal=False, with_res=False,
 
 def _attn_bwd_impl(g, q, k, v, out, lse, scale, mode, causal=False,
                    lengths=None, window=0):
-    shape = q.shape
+    shape, kshape = q.shape, k.shape
     s, d = shape[-2], shape[-1]
     b = prod(shape[:-2])
-    g3, q3, k3, v3 = (x.reshape(b, s, d) for x in (g, q, k, v))
+    bkv = prod(kshape[:-2])
+    groups = b // bkv
+    g3, q3 = (x.reshape(b, s, d) for x in (g, q))
+    k3, v3 = (x.reshape(bkv, s, d) for x in (k, v))
     if mode == "pallas" and out is not None and lse is not None:
         dq, dk, dv = _flash_bwd(g3, q3, k3, v3, out.reshape(b, s, d), lse,
                                 scale, causal, lengths=lengths, window=window)
-        return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
-    # recompute path (one fused XLA program)
-    scores = jnp.einsum("bqd,bkd->bqk", q3, k3, precision=_prec_for(q3, k3)) * scale
+        return dq.reshape(shape), dk.reshape(kshape), dv.reshape(kshape)
+    # recompute path (one fused XLA program); grouped einsums keep K/V
+    # unexpanded and reduce dk/dv over the group axis in the GEMM itself
+    g4, q4 = g3.reshape(bkv, groups, s, d), q3.reshape(bkv, groups, s, d)
+    scores = jnp.einsum("bgqd,bkd->bgqk", q4, k3,
+                        precision=_prec_for(q4, k3)) * scale
     if causal:
         scores = scores + _causal_mask(s, window).astype(scores.dtype)
     if lengths is not None:
         colm, rowv = _len_masks(lengths, b, s)
+        colm = colm.reshape(bkv, groups, 1, s)
+        rowv = rowv.reshape(bkv, groups, s, 1)
         scores = scores + colm.astype(scores.dtype)
     p = jax.nn.softmax(scores, axis=-1)
     if lengths is not None:
         p = jnp.where(rowv, p, 0.0).astype(p.dtype)
-    dv = jnp.einsum("bqk,bqd->bkd", p, g3, precision=_prec_for(g3))
-    dp = jnp.einsum("bqd,bkd->bqk", g3, v3, precision=_prec_for(g3, v3))
+    dv = jnp.einsum("bgqk,bgqd->bkd", p, g4, precision=_prec_for(g4))
+    dp = jnp.einsum("bgqd,bkd->bgqk", g4, v3, precision=_prec_for(g4, v3))
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bqk,bkd->bqd", ds, k3, precision=_prec_for(k3)) * scale
-    dk = jnp.einsum("bqk,bqd->bkd", ds, q3, precision=_prec_for(q3)) * scale
-    return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+    dq = jnp.einsum("bgqk,bkd->bgqd", ds, k3, precision=_prec_for(k3)) * scale
+    dk = jnp.einsum("bgqk,bgqd->bkd", ds, q4, precision=_prec_for(q4)) * scale
+    return dq.reshape(shape), dk.reshape(kshape), dv.reshape(kshape)
 
 
 @functools.lru_cache(maxsize=None)
@@ -637,15 +679,16 @@ def _attn_res_bwd(scale, causal, mode, window, res, cts):
     q, k, v, out, lse = res
     g, glse = cts
     if mode == "pallas":
-        shape = q.shape
+        shape, kshape = q.shape, k.shape
         s, d = shape[-2], shape[-1]
         b = prod(shape[:-2])
+        bkv = prod(kshape[:-2])
         dq, dk, dv = _flash_bwd(
             g.astype(q.dtype).reshape(b, s, d), q.reshape(b, s, d),
-            k.reshape(b, s, d), v.reshape(b, s, d), out.reshape(b, s, d),
+            k.reshape(bkv, s, d), v.reshape(bkv, s, d), out.reshape(b, s, d),
             lse.reshape(b, s, 1), scale, causal,
             dlse=glse.reshape(b, s, 1), window=window)
-        return dq.reshape(shape), dk.reshape(shape), dv.reshape(shape)
+        return dq.reshape(shape), dk.reshape(kshape), dv.reshape(kshape)
     return _build("bwd", scale, mode, causal, window=window)(
         g, q, k, v, out, lse)
 
