@@ -271,6 +271,9 @@ class GPT(nn.Module):
         import jax
         import jax.numpy as jnp
 
+        from lightgrad_tpu.ops.decode_attention import (
+            decode_attention as kdecode_attn)
+
         cfg = self.cfg
         H, hd, L, W = cfg.n_head, cfg.n_embd // cfg.n_head, cfg.n_layer, cfg.n_positions
         eps = cfg.layer_norm_epsilon
@@ -342,20 +345,23 @@ class GPT(nn.Module):
             decoding.ParamFn)."""
             x = p["wte.weight"][tok] + p["wpe.weight"][pos]      # (d,)
             x = x[None, :]                                       # (1, d)
-            pos_mask = (jnp.arange(W) <= pos)[None, None, :]     # (1, 1, W)
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
                 qkv = mm(h, p, pre + "attn.c_attn.weight") \
                     + p[pre + "attn.c_attn.bias"]
                 q, k, v = [a.reshape(H, 1, hd) for a in jnp.split(qkv[0], 3)]
-                kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
-                vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
-                cache = cache.at[l, 0].set(kc).at[l, 1].set(vc)
-                scores = jnp.einsum("hqd,hkd->hqk", q, kc) * scale   # (H, 1, W)
-                scores = jnp.where(pos_mask, scores, -1e30)
-                att = jax.nn.softmax(scores, axis=-1) @ vc           # (H, 1, hd)
-                att = att.transpose(1, 0, 2).reshape(1, H * hd)
+                # ONE dynamic_update_slice straight into the stacked cache:
+                # the slice/update/write-back idiom made XLA materialize full
+                # (H, W, hd) copies per layer -- measured 0.10 ms/token
+                # (benchmarks/decode_budget.py, no_kv_write ablation)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos, 0))
+                kc, vc = cache[l, 0], cache[l, 1]
+                # fused scores+mask+softmax+context: ONE kernel instead of
+                # ~6 thunks on KB operands (ops/decode_attention.py)
+                att = kdecode_attn(q.reshape(H, 1, hd), kc, vc, pos, scale)
+                att = att.reshape(1, H * hd)
                 x = x + mm(att, p, pre + "attn.c_proj.weight") \
                     + p[pre + "attn.c_proj.bias"]
                 h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])

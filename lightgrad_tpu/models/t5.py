@@ -631,9 +631,11 @@ class T5ForConditionalGeneration(nn.Module):
                 a = pre + "0.SelfAttention."
                 h = rms(x, p[pre + "0.layer_norm.weight"])
                 q, k, v = (heads(h, p[a + n + ".weight"]) for n in "qkv")
-                kc = jax.lax.dynamic_update_slice(cache[l, 0], k, (0, pos, 0))
-                vc = jax.lax.dynamic_update_slice(cache[l, 1], v, (0, pos, 0))
-                cache = cache.at[l, 0].set(kc).at[l, 1].set(vc)
+                # one DUS into the stacked cache (no slice copies -- see
+                # benchmarks/decode_budget.py no_kv_write ablation)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos, 0))
+                kc, vc = cache[l, 0], cache[l, 1]
                 scores = jnp.einsum("hqd,hkd->hqk", q, kc) + bias
                 scores = jnp.where(pos_mask, scores, -1e9)
                 att = jax.nn.softmax(scores, axis=-1) @ vc
