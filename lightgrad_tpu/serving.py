@@ -14,8 +14,13 @@ admission/retirement driven from the host between dispatches.
 * Every engine tick advances ALL slots with ONE vmapped one-token program
   (the same compiled step regardless of arrival pattern); finished or empty
   slots harmlessly rewrite their last cache row (masked by ``<= pos``).
-* Sampling is host-side, so per-request temperature/top-k/top-p/eos come
-  for free and greedy outputs are token-exact vs ``model.generate``.
+* Sampling runs ON DEVICE inside the tick program when every in-flight
+  request shares one (temperature, top_k, top_p) signature (the normal
+  serving configuration): the tick reads back ``slots`` int32 tokens
+  instead of a (slots, vocab) logits matrix -- through a tunneled chip the
+  logits readback, not compute, dominated the tick (measured ~12 ms/tick
+  on GPT-2-small batch-8 in r3).  Mixed per-request hyperparameters fall
+  back to host-side sampling transparently (token-exact, just slower).
 
 Works with any model exposing the ``_kv_functions`` contract (GPT, Llama/
 Mistral/Qwen/Gemma, Mixtral, T5 decoder via its own wrapper).  No reference
@@ -59,12 +64,21 @@ class InferenceEngine:
     long ones and arrival order never pads anyone.
     """
 
-    def __init__(self, model, slots: int = 8, rng=None):
+    def __init__(self, model, slots: int = 8, rng=None,
+                 steps_per_tick: int = 1):
         import jax
         import jax.numpy as jnp
 
         self.model = model
         self.slots = slots
+        # steps_per_tick > 1: each tick dispatch runs a lax.scan of S decode
+        # steps for every slot (device-sampled path only).  Through the
+        # tunnel one program dispatch costs ~1.2 ms regardless of content
+        # (benchmarks/gemv_chain_probe.py tiny-chain), so S amortizes the
+        # floor S-fold at the cost of admitting new requests every S tokens.
+        # Slots that finish mid-block keep decoding garbage rows; the host
+        # trims at eos/max_new and retirement re-prefills the slot's cache.
+        self.steps_per_tick = max(1, int(steps_per_tick))
         self.rng = rng or np.random.default_rng(0)
         cfg = model.cfg
         self.window = (getattr(cfg, "n_positions", None)
@@ -88,6 +102,11 @@ class InferenceEngine:
         self._admit = lambda *a: admit_impl(prefill.params, *a)
         bstep_impl = jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0)))
         self._bstep = lambda *a: bstep_impl(step.params, *a)
+        # device-sampled tick programs, one per (temp, top_k, top_p)
+        # signature; per-slot PRNG keys live on device across ticks
+        self._tick_fns = {}
+        self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(slots)])
+        self._step_fn, self._step_params = step.fn, step.params
 
         self._active = [None] * slots     # slot -> Request | None
         self._queue = []
@@ -156,22 +175,75 @@ class InferenceEngine:
             if req is not None:
                 pos[slot] = len(req.tokens) - 1
                 tok[slot] = req.tokens[-1]
-        self._caches, logits = self._bstep(
-            self._caches, jnp.asarray(pos), jnp.asarray(tok))
+
+        sigs = {(r.temperature, r.top_k, r.top_p)
+                for r in self._active if r is not None}
+        if len(sigs) == 1:
+            # homogeneous sampling config: sample ON DEVICE, read back a
+            # (slots, steps) int32 block instead of (slots, vocab) logits.
+            # Steps beyond a request's eos/max_new decode garbage rows into
+            # clamped/retiring cache positions -- harmless because the host
+            # stops appending at the finish condition and a freed slot is
+            # fully re-prefilled before reuse (every valid token's K/V write
+            # lands in bounds: submit() asserts prompt+max_new <= window).
+            steps = self.steps_per_tick
+            sig = next(iter(sigs))
+            fn = self._tick_fns.get(sig)
+            if fn is None:
+                fn = self._tick_fns[sig] = self._tick_program(sig, steps)
+            self._caches, toks, self._keys = fn(
+                self._step_params, self._caches, jnp.asarray(pos),
+                jnp.asarray(tok), self._keys)
+            tokmat = np.asarray(toks)                       # (slots, steps)
+        else:
+            steps = 1
+            self._caches, logits = self._bstep(
+                self._caches, jnp.asarray(pos), jnp.asarray(tok))
+            lg = np.asarray(logits)
+            tokmat = np.array([[
+                sample_one(lg[s], r.temperature, self.rng,
+                           top_k=r.top_k, top_p=r.top_p)
+                if r is not None else 0]
+                for s, r in enumerate(self._active)], np.int64)
         self.stats["step_dispatches"] += 1
-        self.stats["slot_tokens"] += self.slots
-        lg = np.asarray(logits)
+        self.stats["slot_tokens"] += self.slots * steps
         for slot, req in enumerate(self._active):
             if req is None:
                 continue
-            nxt = int(sample_one(lg[slot], req.temperature, self.rng,
-                                 top_k=req.top_k, top_p=req.top_p))
-            req.tokens.append(nxt)
-            self.stats["tokens_generated"] += 1
-            if self._is_finished(req):
-                req.done = True
-                self._finished.append(req)
-                self._active[slot] = None   # slot frees for next tick
+            for i in range(steps):
+                req.tokens.append(int(tokmat[slot, i]))
+                self.stats["tokens_generated"] += 1
+                if self._is_finished(req):
+                    req.done = True
+                    self._finished.append(req)
+                    self._active[slot] = None   # slot frees for next tick
+                    break
+
+    def _tick_program(self, sig, steps):
+        """Compiled all-slots decode tick with ON-DEVICE sampling for one
+        (temperature, top_k, top_p) signature: a ``lax.scan`` of ``steps``
+        decode steps per slot in ONE dispatch; per-slot PRNG keys thread
+        through the program (models/decoding.py::_device_sample math)."""
+        import jax
+
+        from .models.decoding import _device_sample
+
+        temp, tk, tp = sig
+        step_fn = self._step_fn
+
+        def one(p, cache, pos, tok, key):
+            def body(carry, _):
+                cache, pos, tok, key = carry
+                cache, logits = step_fn(p, cache, pos, tok)
+                key, sub = jax.random.split(key)
+                nxt = _device_sample(logits, sub, temp, tk, tp)
+                return (cache, pos + 1, nxt, key), nxt
+
+            (cache, _, _, key), toks = jax.lax.scan(
+                body, (cache, pos, tok, key), None, length=steps)
+            return cache, toks, key
+
+        return jax.jit(jax.vmap(one, in_axes=(None, 0, 0, 0, 0)))
 
     @staticmethod
     def _is_finished(req) -> bool:

@@ -78,3 +78,43 @@ def test_engine_reuse_after_run(model):
     want = [int(t) for t in model.generate([8, 9, 10], max_new_tokens=4,
                                            use_cache=True)]
     assert second[0].tokens == want
+
+
+def test_multi_step_tick_token_exact(model):
+    """steps_per_tick=4: each dispatch scans 4 decode steps per slot on
+    device; greedy outputs stay token-exact vs generate and the dispatch
+    count drops ~4x vs the single-step engine."""
+    rng = np.random.default_rng(3)
+    specs = [(list(rng.integers(1, 61, n)), m)
+             for n, m in [(3, 9), (6, 12), (2, 5), (5, 11), (4, 7)]]
+    engine = InferenceEngine(model, slots=2, steps_per_tick=4)
+    reqs = [engine.submit(p, max_new_tokens=m) for p, m in specs]
+    done = engine.run()
+    assert len(done) == len(specs) and all(r.done for r in done)
+    for req, (prompt, m) in zip(reqs, specs):
+        want = [int(t) for t in model.generate(prompt, max_new_tokens=m,
+                                               use_cache=True)]
+        assert req.tokens == want, (req.tokens, want)
+
+    single = InferenceEngine(model, slots=2)
+    for p, m in specs:
+        single.submit(p, max_new_tokens=m)
+    single.run()
+    assert engine.stats["step_dispatches"] * 3 < \
+        single.stats["step_dispatches"], (engine.stats, single.stats)
+
+
+def test_multi_step_tick_eos_trim(model):
+    """A request hitting eos mid-block stops at eos (over-decoded device
+    rows are discarded host-side) and its slot frees for the queue."""
+    probe = model.generate([5, 9], max_new_tokens=4, use_cache=True)
+    eos = int(probe[3])   # 2nd generated token => eos lands mid-block
+    engine = InferenceEngine(model, slots=1, steps_per_tick=4)
+    a = engine.submit([5, 9], max_new_tokens=10, eos_id=eos)
+    b = engine.submit([3, 4, 5], max_new_tokens=6)
+    done = engine.run()
+    assert {r.id for r in done} == {a.id, b.id}
+    assert a.tokens[-1] == eos and a.n_generated == 2
+    want = [int(t) for t in model.generate([3, 4, 5], max_new_tokens=6,
+                                           use_cache=True)]
+    assert b.tokens == want
