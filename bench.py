@@ -457,7 +457,142 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
             new_tokens / q_single_s)
 
 
-def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5, remat=False):
+def bench_serving_engine(n_requests=32, slots=8, steps_per_tick=8,
+                         window=256, vocab=50257):
+    """Continuous batching vs naive static batching on GPT-2-small-class
+    weights (VERDICT r3 #4a).  The same 32 ragged requests (prompt 8-48,
+    16-128 new tokens) run (a) as 4 static batches of 8, each padded to its
+    longest member (generate_batch_device), then (b) through the
+    InferenceEngine, which re-fills a slot the moment its request finishes.
+    Tokens counted are the REQUESTED ones in both cases -- the static path's
+    padding waste shows up as wall-clock, not as free tokens."""
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.serving import InferenceEngine
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=vocab, n_positions=window, n_embd=768,
+                    n_layer=12, n_head=12)
+    light.set_device_init(True)
+    try:
+        model = GPT(cfg)
+    finally:
+        light.set_device_init(False)
+
+    rng = np.random.default_rng(7)
+    reqs = [([int(t) for t in rng.integers(0, vocab, int(rng.integers(8, 49)))],
+             int(rng.integers(16, 129))) for _ in range(n_requests)]
+    want_tokens = sum(n for _, n in reqs)
+
+    # --- naive static batching: fixed groups, padded to the group max ----
+    def run_static():
+        done = 0
+        for i in range(0, n_requests, slots):
+            group = reqs[i:i + slots]
+            outs = model.generate_batch_device(
+                [p for p, _ in group], max_new_tokens=max(n for _, n in group))
+            done += sum(n for _, n in group)
+        return done
+
+    run_static()  # compile
+    t0 = time.time()
+    got = run_static()
+    static_s = time.time() - t0
+    assert got == want_tokens
+
+    # --- continuous batching engine --------------------------------------
+    eng = InferenceEngine(model, slots=slots, steps_per_tick=steps_per_tick)
+    for p, n in reqs[:slots]:
+        eng.submit(p, n)
+    eng.run()  # compile admission + tick programs
+    for p, n in reqs:
+        eng.submit(p, n)
+    t0 = time.time()
+    finished = eng.run()
+    engine_s = time.time() - t0
+    got = sum(r.n_generated for r in finished)
+    assert got == want_tokens, (got, want_tokens)
+    return (want_tokens / static_s, want_tokens / engine_s,
+            static_s / engine_s)
+
+
+def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
+    """Speculative decoding vs plain device-loop greedy decode (VERDICT r3
+    #4b).  Needs a draft that actually agrees with the target, so both are
+    trained on a small char corpus (this repo's README + docs -- offline,
+    deterministic): target 8x512, draft 2x256.  The speculative win is real
+    only with the parallel-verify extend pass (models/decoding.py,
+    KVFns.extend); greedy output is asserted bit-exact vs plain decode."""
+    import jax.numpy as jnp
+    from lightgrad_tpu.models import GPT, GPTConfig
+    from lightgrad_tpu.models.decoding import generate_speculative_device
+
+    import glob
+    root = os.path.dirname(os.path.abspath(__file__))
+    text = open(os.path.join(root, "README.md")).read()
+    for f in sorted(glob.glob(os.path.join(root, "docs", "*.md"))):
+        text += open(f).read()
+    chars = sorted(set(text))
+    stoi = {c: i for i, c in enumerate(chars)}
+    data = np.array([stoi[c] for c in text], dtype=np.int32)
+    V, seq = len(chars), 256
+
+    def train(n_embd, n_layer, n_head, seed):
+        cfg = GPTConfig(vocab_size=V, n_positions=seq, n_embd=n_embd,
+                        n_layer=n_layer, n_head=n_head)
+        np.random.seed(seed)
+        model = GPT(cfg)
+        optim = light.optim.Adam(model.parameters(), lr=3e-4)
+        rng = np.random.default_rng(seed)
+        batch = 32
+        starts = rng.integers(0, len(data) - seq - 1, train_steps * batch)
+        xs = np.stack([data[s:s + seq] for s in starts])
+        ys = np.stack([data[s + 1:s + seq + 1] for s in starts])
+        xs_dev = TpuTensor.from_numpy(xs, requires_grad=False)
+        ys_dev = TpuTensor.from_numpy(ys, requires_grad=False)
+
+        def step(off):
+            x = xs_dev.narrow(off, batch)
+            y = ys_dev.narrow(off, batch)
+            logits = model(x).reshape(batch * seq, V)
+            loss = light.loss.cross_entropy(logits, y.reshape(-1))
+            optim.zero_grad()
+            loss.backward()
+            optim.step()
+            return loss
+
+        fn = light.jit(step)
+        loss = None
+        for i in range(train_steps):
+            loss = fn(TpuTensor.from_numpy(np.int32(i * batch),
+                                           requires_grad=False))
+        return model, float(loss.numpy())
+
+    target, t_loss = train(512, 8, 8, seed=0)
+    draft, d_loss = train(256, 2, 4, seed=1)
+
+    prompt = [stoi[c] for c in text[1000:1032]]
+
+    def t_plain():
+        return target.generate_device(prompt, max_new_tokens=new_tokens)
+
+    def t_spec():
+        return generate_speculative_device(target, draft, prompt,
+                                           max_new_tokens=new_tokens, k=k)
+
+    want = t_plain()  # compile
+    got = t_spec()    # compile
+    assert got == want, "speculative greedy output diverged from plain"
+
+    dt_p, _ = time_median(lambda: np.asarray(t_plain()), iters=1,
+                          repeats=repeats)
+    dt_s, _ = time_median(lambda: np.asarray(t_spec()), iters=1,
+                          repeats=repeats)
+    return (new_tokens / dt_p, new_tokens / dt_s, dt_p / dt_s,
+            t_loss, d_loss)
+
+
+def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5, remat=False,
+                        n_embd=768, n_layer=12, n_head=12):
     """End-to-end GPT-2-small-class training step under master-weight AMP
     (bf16 compute, f32 masters): the production configuration.  Reports
     tokens/s and MFU using the 6*N*T transformer-FLOPs rule.
@@ -470,8 +605,9 @@ def bench_gpt_train_amp(batch=8, seq=512, iters=10, repeats=5, remat=False):
     from lightgrad_tpu.models.gpt import GPT, GPTConfig
 
     np.random.seed(0)
-    cfg = GPTConfig(vocab_size=50304, n_positions=seq, n_embd=768,
-                    n_layer=12, n_head=12, scan_layers=True, remat=remat)
+    cfg = GPTConfig(vocab_size=50304, n_positions=seq, n_embd=n_embd,
+                    n_layer=n_layer, n_head=n_head, scan_layers=True,
+                    remat=remat)
     # device-side init: the host-RNG path uploads ~750 MB of params+masters
     # through the (possibly tunneled) device link -- ~300 s of pure transfer
     # before a single timed step; jax.random generates them in HBM directly

@@ -48,6 +48,29 @@ class ParamFn:
         return self.jitted(self.params, *args)
 
 
+class KVFns:
+    """The (init_cache, prefill, step) triple every ``_kv_functions``
+    returns, iterable for the ubiquitous 3-way unpack, plus an optional
+    ``extend`` member: the parallel multi-token decode pass
+    ``extend(p, cache, pos0, toks[K]) -> (cache, logits[K, vocab])`` that
+    scores K tokens at positions ``pos0..pos0+K-1`` in ONE batched forward.
+    Speculative verification needs it to beat plain decoding: decode is
+    weight-read-bound, so scoring k+1 proposals must cost ~one step's HBM
+    traffic, not k+1 sequential steps' (see _build_device_spec)."""
+
+    def __init__(self, init_cache, prefill, step, extend=None):
+        self.init_cache = init_cache
+        self.prefill = prefill
+        self.step = step
+        self.extend = extend
+
+    def __iter__(self):
+        return iter((self.init_cache, self.prefill, self.step))
+
+    def __getitem__(self, i):
+        return (self.init_cache, self.prefill, self.step)[i]
+
+
 def _log_softmax(x):
     x = np.asarray(x, np.float64)
     m = x.max()
@@ -383,17 +406,26 @@ def generate_speculative(model, draft, ids, max_new_tokens: int, k: int = 4,
 
     key = ("_spec_verify", k)
     if getattr(model, "_spec_verify_key", None) != key:
-        @jax.jit
-        def verify_impl(p, cache, pos0, toks):
-            """Scan k+1 tokens from pos0; returns per-position logits."""
-            def body(c, inp):
-                i, tok = inp
-                c, logits = t_step.fn(p, c, pos0 + i, tok)
-                return c, logits
+        t_extend = getattr(model._kv_fns, "extend", None)
+        if t_extend is not None:
+            # ONE batched forward over the k+1 rows (KVFns.extend): one
+            # weight read scores every proposal -- the term that lets
+            # speculative decoding beat plain decode
+            @jax.jit
+            def verify_impl(p, cache, pos0, toks):
+                return t_extend.fn(p, cache, pos0, toks)
+        else:
+            @jax.jit
+            def verify_impl(p, cache, pos0, toks):
+                """Scan k+1 tokens from pos0; returns per-position logits."""
+                def body(c, inp):
+                    i, tok = inp
+                    c, logits = t_step.fn(p, c, pos0 + i, tok)
+                    return c, logits
 
-            return jax.lax.scan(
-                body, cache,
-                (jnp.arange(k + 1, dtype=jnp.int32), toks))
+                return jax.lax.scan(
+                    body, cache,
+                    (jnp.arange(k + 1, dtype=jnp.int32), toks))
 
         model._spec_verify = lambda *a: verify_impl(t_step.params, *a)
         model._spec_verify_key = key
@@ -491,6 +523,7 @@ def _build_device_spec(model, draft, k: int, max_new_tokens: int,
 
     t_init, t_prefill, t_step = model._kv_fns
     d_init, d_prefill, d_step = draft._kv_fns
+    t_extend = getattr(model._kv_fns, "extend", None)
     eos = jnp.int32(-1 if eos_id is None else eos_id)
     greedy = temperature <= 0.0
     BUF = max_new_tokens + k
@@ -526,16 +559,25 @@ def _build_device_spec(model, draft, k: int, max_new_tokens: int,
             (d_cache, _, key), (props, dlogits) = jax.lax.scan(
                 dbody, (d_cache, last, key), jnp.arange(k, dtype=jnp.int32))
 
-            # target scores all k+1 positions: feed [last, props[:-1]...k]
+            # target scores all k+1 positions: feed [last, props[:-1]...k].
+            # The extend pass scores them in ONE batched forward -- one
+            # weight read for k+1 rows, the term that makes speculative
+            # decoding pay off on a weight-read-bound decode.  Models
+            # without an extend fall back to the sequential scan (correct,
+            # but each round then costs k+1 full step reads).
             vt = jnp.concatenate([last[None], props])
 
-            def tbody(cache, inp):
-                i, tok = inp
-                cache, lg = t_step.fn(pt, cache, pos + i, tok)
-                return cache, lg
+            if t_extend is not None:
+                t_cache, trows = t_extend.fn(pt, t_cache, pos, vt)
+            else:
+                def tbody(cache, inp):
+                    i, tok = inp
+                    cache, lg = t_step.fn(pt, cache, pos + i, tok)
+                    return cache, lg
 
-            t_cache, trows = jax.lax.scan(
-                tbody, t_cache, (jnp.arange(k + 1, dtype=jnp.int32), vt))
+                t_cache, trows = jax.lax.scan(
+                    tbody, t_cache,
+                    (jnp.arange(k + 1, dtype=jnp.int32), vt))
 
             if greedy:
                 preds = jnp.argmax(trows, axis=-1).astype(jnp.int32)

@@ -336,6 +336,20 @@ class GPT(nn.Module):
         def gelu(x):
             return 0.5 * x * (1 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
 
+        # Decode megakernel (ops/decode_stack.py): the whole L-layer step in
+        # ONE pallas program.  The per-token cost of the unrolled XLA loop
+        # is dominated by a ~0.58 ms fixed floor of ~110 small thunk
+        # launches, independent of weight bytes (benchmarks/
+        # decode_budget.py); the megakernel replaces them with one grid
+        # that streams weight slabs HBM->VMEM double-buffered.  Packed
+        # lazily here (a transposed slab copy of the layer weights) only
+        # when the pallas kernel path is active at build time.
+        from lightgrad_tpu.ops.runtime import kernel_mode as _kmode
+        if (_kmode() != "xla" and cfg.n_experts == 0
+                and hd % 8 == 0 and cfg.n_embd % 128 == 0):
+            from lightgrad_tpu.ops.decode_stack import pack_gpt_stack
+            p.update(pack_gpt_stack(p, L, cfg.n_embd))
+
         def step(p, cache, pos, tok):
             """One token at position ``pos``: returns (cache, logits).
 
@@ -345,6 +359,18 @@ class GPT(nn.Module):
             decoding.ParamFn)."""
             x = p["wte.weight"][tok] + p["wpe.weight"][pos]      # (d,)
             x = x[None, :]                                       # (1, d)
+            if "stack#slabs" in p:
+                from lightgrad_tpu.ops.decode_stack import decode_stack
+                x, kv = decode_stack(x, cache, pos, p["stack#slabs"],
+                                     p["stack#vecs"],
+                                     p.get("stack#scales"), eps=eps)
+                # ONE scatter of every layer's new k/v row (the kernel
+                # cannot write a dynamic row of its revisited cache block)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, kv.reshape(L, 2, H, hd)[:, :, :, None, :],
+                    (0, 0, 0, pos, 0))
+                x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+                return cache, head_mm(x, p)[0]                   # (vocab,)
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
@@ -411,9 +437,50 @@ class GPT(nn.Module):
             x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
             return cache, head_mm(x[n_real - 1][None], p)[0]
 
-        from .decoding import ParamFn
+        def extend(p, cache, pos0, toks):
+            """Parallel multi-token decode: score ``toks`` (K rows, K static)
+            at positions ``pos0..pos0+K-1`` in ONE batched pass -- the
+            speculative-verify primitive.  Decode is weight-read-bound, so
+            one weight pass serving K tokens costs ~one ``step``; the scan
+            formulation paid K sequential steps, which makes speculative
+            decoding structurally unable to beat plain decoding.  Row i
+            attends cache keys ``<= pos0+i`` (its own K/V row is written
+            first), preserving exact causal semantics; all K K/V rows land
+            with one dynamic_update_slice per layer."""
+            K = toks.shape[0]
+            rows = pos0 + jnp.arange(K, dtype=jnp.int32)
+            x = p["wte.weight"][toks] + p["wpe.weight"][rows]    # (K, d)
+            vis = rows[None, :, None] >= jnp.arange(W)[None, None, :]
+            for l in range(L):
+                pre = f"h.{l}."
+                h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
+                qkv = mm(h, p, pre + "attn.c_attn.weight") \
+                    + p[pre + "attn.c_attn.bias"]
+                q, k, v = jnp.split(qkv, 3, axis=-1)             # (K, H*hd)
+                q = q.reshape(K, H, hd).transpose(1, 0, 2)       # (H, K, hd)
+                k = k.reshape(K, H, hd).transpose(1, 0, 2)
+                v = v.reshape(K, H, hd).transpose(1, 0, 2)
+                cache = jax.lax.dynamic_update_slice(
+                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos0, 0))
+                kc, vc = cache[l, 0], cache[l, 1]                # (H, W, hd)
+                s = jnp.einsum("hqd,hkd->hqk", q, kc) * scale    # (H, K, W)
+                s = jnp.where(vis, s, -1e30)
+                att = jax.nn.softmax(s, axis=-1) @ vc            # (H, K, hd)
+                att = att.transpose(1, 0, 2).reshape(K, H * hd)
+                x = x + mm(att, p, pre + "attn.c_proj.weight") \
+                    + p[pre + "attn.c_proj.bias"]
+                h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
+                h2 = gelu(mm(h2, p, pre + "c_fc.weight")
+                          + p[pre + "c_fc.bias"])
+                x = x + mm(h2, p, pre + "c_proj.weight") \
+                    + p[pre + "c_proj.bias"]
+            x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+            return cache, head_mm(x, p)                          # (K, vocab)
 
-        return init_cache, ParamFn(prefill, p), ParamFn(step, p)
+        from .decoding import KVFns, ParamFn
+
+        return KVFns(init_cache, ParamFn(prefill, p), ParamFn(step, p),
+                     ParamFn(extend, p))
 
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
                      top_k: int = 0, top_p: float = 0.0,

@@ -1,0 +1,103 @@
+"""Decode megakernel (ops/decode_stack.py) parity vs the unrolled XLA
+decode step: same math, one pallas program for the whole layer stack.
+Runs in interpret mode off-TPU (tests/conftest.py CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lightgrad_tpu.models import GPT, GPTConfig
+from lightgrad_tpu.ops import runtime
+
+
+def _fns(model, mode):
+    prev = runtime.set_kernel_mode(mode)
+    try:
+        return model._kv_functions()
+    finally:
+        runtime.set_kernel_mode(prev)
+
+
+def _build(vocab=64, W=16, d=128, L=2, H=2, seed=0):
+    np.random.seed(seed)
+    return GPT(GPTConfig(vocab_size=vocab, n_positions=W, n_embd=d,
+                         n_layer=L, n_head=H))
+
+
+def test_megakernel_step_matches_xla_f32():
+    model = _build()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params, "megakernel did not pack"
+    assert "stack#slabs" not in fx.step.params
+
+    W = model.cfg.n_positions
+    prompt = np.array([3, 7, 11], np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, lg0 = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    cx, cp = cache, cache
+    tok = jnp.int32(int(np.argmax(np.asarray(lg0))))
+    for pos in range(len(prompt), len(prompt) + 6):
+        cx, lx = fx.step(cx, jnp.int32(pos), tok)
+        cp, lp = fp.step(cp, jnp.int32(pos), tok)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   rtol=2e-4, atol=2e-4)
+        tok = jnp.int32(int(np.argmax(np.asarray(lx))))
+
+
+def test_megakernel_first_token_pos0():
+    """pos==0: no visible cache rows, self-attention only."""
+    model = _build(seed=5)
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    cache = fx.init_cache()
+    cx, lx = fx.step(cache, jnp.int32(0), jnp.int32(9))
+    cp, lp = fp.step(cache, jnp.int32(0), jnp.int32(9))
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_megakernel_int8_matches_xla_int8():
+    import lightgrad_tpu as light
+
+    model = _build(seed=2)
+    light.amp.cast_module(model, jnp.bfloat16)
+    model.quantize_serving()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#scales" in fp.step.params
+
+    cache = fx.init_cache()
+    cx, lx = fx.step(cache, jnp.int32(0), jnp.int32(4))
+    cp, lp = fp.step(cache, jnp.int32(0), jnp.int32(4))
+    lx32 = np.asarray(lx, np.float32)
+    lp32 = np.asarray(lp, np.float32)
+    np.testing.assert_allclose(lp32, lx32, rtol=5e-2, atol=5e-2)
+    assert int(np.argmax(lp32)) == int(np.argmax(lx32))
+
+
+def test_megakernel_inside_scan_generation():
+    """The whole generate_device loop over the megernel step: runs and
+    matches the XLA-path generation logits at the first step (the scan
+    carries cache + pos through the kernel)."""
+    model = _build(seed=7)
+    prev = runtime.set_kernel_mode("pallas")
+    try:
+        for a in ("_kv_fns", "_dev_gen"):
+            if hasattr(model, a):
+                delattr(model, a)
+        out = model.generate_device([3, 1, 4], max_new_tokens=5)
+    finally:
+        runtime.set_kernel_mode(prev)
+        for a in ("_kv_fns", "_dev_gen"):
+            if hasattr(model, a):
+                delattr(model, a)
+    assert len(out) == 8
+    assert all(0 <= t < 64 for t in out)
