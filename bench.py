@@ -313,6 +313,71 @@ def bench_conv(iters=20):
     return _fwd_bwd_bench(lambda: x.conv(w, strides=1), (x, w), flops, iters)
 
 
+def bench_conv_resnet(iters=10, dtype=None):
+    """conv fwd+bwd at a real ResNet stage shape (VERDICT r3 #6): the
+    conv3_x body block, 32x128x30^2 -> 128x28^2 k3 -- compute-dense enough
+    that the measured number reflects the conv path, not dispatch."""
+    np.random.seed(1)
+    b, c, s, k = 32, 128, 30, 3
+    x = light.uniform(-1, 1, (b, c, s, s))
+    w = light.uniform(-0.1, 0.1, (c, c, k, k))
+    if dtype is not None:
+        x = x.astype(dtype).detach()._set_requires_grad(True)
+        w = w.astype(dtype).detach()._set_requires_grad(True)
+    out = s - k + 1
+    flops = 3 * 2 * b * c * out * out * c * k * k
+    return _fwd_bwd_bench(lambda: x.conv(w, strides=1), (x, w), flops, iters)
+
+
+def bench_resnet_train(steps=30, batch=128, repeats=5):
+    """ResNet-20 AMP train step on 28^2 inputs (the examples/resnet.py
+    workload): BatchNorm running stats + residual projections + GAP inside
+    one compiled step; reports step time and conv-dominated model FLOP/s."""
+    from lightgrad_tpu.models.resnet import resnet20
+
+    np.random.seed(0)
+    model = resnet20(num_classes=10, in_channels=1)
+    mp = light.amp.MixedPrecision(
+        model, lambda ps: light.optim.AdamW(ps, lr=3e-3, weight_decay=0.01))
+    rng = np.random.default_rng(0)
+    x = TpuTensor.from_numpy(
+        rng.uniform(-1, 1, (batch, 1, 28, 28)).astype(np.float32),
+        requires_grad=False)
+    y = TpuTensor.from_numpy(rng.integers(0, 10, (batch,)).astype(np.int32),
+                             requires_grad=False)
+
+    def step():
+        logits = model(x)
+        loss = light.loss.cross_entropy(logits, y)
+        mp.zero_grad()
+        loss.backward()
+        mp.step()
+        return loss
+
+    fn = light.jit(step)
+    dt, vals = time_median(lambda: fn().data, iters=steps, repeats=repeats)
+    # fwd conv FLOPs of resnet20 on 28^2 single-channel inputs, x3 for bwd
+    flops_fwd = _resnet20_conv_flops(28, in_ch=1)
+    return dt, vals, 3 * flops_fwd * batch / dt
+
+
+def _resnet20_conv_flops(s, in_ch=1):
+    """Per-example forward conv FLOPs of resnet20 at input s x s (SAME
+    padding, three 16/32/64-channel stages of 3 basic blocks)."""
+    total = 2 * 16 * in_ch * 9 * s * s            # stem 3x3
+    ch, sp = 16, s
+    for stage, out_ch in enumerate((16, 32, 64)):
+        for blk in range(3):
+            st = 2 if (stage > 0 and blk == 0) else 1
+            osp = sp // st
+            total += 2 * out_ch * ch * 9 * osp * osp
+            total += 2 * out_ch * out_ch * 9 * osp * osp
+            if st != 1 or ch != out_ch:
+                total += 2 * out_ch * ch * osp * osp  # 1x1 projection
+            ch, sp = out_ch, osp
+    return total
+
+
 def _bert_layer_flops(batch, seq, cfg):
     """fwd+bwd FLOPs of one BERT layer (3x fwd matmul FLOPs)."""
     h, i = cfg.hidden_size, cfg.intermediate_size
@@ -432,29 +497,47 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
 
     # whole-generation-on-device (models/decoding.py:generate_device): the
     # per-token host round-trip disappears -- ONE dispatch + ONE readback
-    # per generation; the latency-optimal serving path
+    # per generation; the latency-optimal serving path.  Median of 3 full
+    # generations: single runs on the shared chip jitter with tenancy.
+    def timed(fn, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = fn()
+            ts.append(time.time() - t0)
+        return sorted(ts)[len(ts) // 2], out
+
     model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
-    t0 = time.time()
-    out = model.generate_device(prompt, max_new_tokens=new_tokens)
-    dev_single_s = time.time() - t0
+    dev_single_s, out = timed(
+        lambda: model.generate_device(prompt, max_new_tokens=new_tokens))
     assert len(out) == prompt_len + new_tokens
     model.generate_batch_device(prompts, max_new_tokens=new_tokens)
-    t0 = time.time()
-    outs = model.generate_batch_device(prompts, max_new_tokens=new_tokens)
-    dev_batch_s = time.time() - t0
+    dev_batch_s, outs = timed(
+        lambda: model.generate_batch_device(prompts,
+                                            max_new_tokens=new_tokens))
     n_tok_dev = sum(len(o) - prompt_len for o in outs)
 
+    # bf16 weights: halves the weight-streaming term vs f32 (the serving
+    # dtype; the decode megakernel streams bf16 slabs)
+    light.amp.cast_module(model, jnp.bfloat16)
+    for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen", "_dev_gen_batch"):
+        if hasattr(model, attr):
+            delattr(model, attr)
+    model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
+    bf16_single_s, out = timed(
+        lambda: model.generate_device(prompt, max_new_tokens=new_tokens))
+    assert len(out) == prompt_len + new_tokens
+
     # int8 weight-only decode (quantize_serving): single-stream decode is
-    # HBM-bound on weight reads, so int8 storage ~1.5x's it in-run
+    # HBM-bound on weight reads, so int8 storage ~2x's bf16 in-run
     model.quantize_serving()
     model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
-    t0 = time.time()
-    out = model.generate_device(prompt, max_new_tokens=new_tokens)
-    q_single_s = time.time() - t0
+    q_single_s, out = timed(
+        lambda: model.generate_device(prompt, max_new_tokens=new_tokens))
     assert len(out) == prompt_len + new_tokens
     return (new_tokens / single_s, n_tok / batch_s,
             new_tokens / dev_single_s, n_tok_dev / dev_batch_s,
-            new_tokens / q_single_s)
+            new_tokens / bf16_single_s, new_tokens / q_single_s)
 
 
 def bench_serving_engine(n_requests=32, slots=8, steps_per_tick=8,
@@ -777,6 +860,23 @@ def main():
         details["conv2d_fwdbwd_gflops"] = round(gf, 1)
         err(f"conv2d fwd+bwd: {dt*1e3:.3f}ms = {gf:.0f} GFLOP/s")
 
+    def st_conv_resnet():
+        dt, runs, gf = bench_conv_resnet(dtype=jnp.bfloat16)
+        details["conv_resnet_bf16_fwdbwd_s"] = round(dt, 6)
+        details["conv_resnet_bf16_runs"] = runs
+        details["conv_resnet_bf16_mfu"] = round(gf * 1e9 / V5E_BF16_PEAK, 4)
+        err(f"conv ResNet-stage bf16 (32x128x30^2 k3) fwd+bwd: "
+            f"{dt*1e3:.3f}ms = {gf/1e3:.1f} TF/s "
+            f"(mfu {details['conv_resnet_bf16_mfu']})")
+
+    def st_resnet_train():
+        dt, runs, flops_s = bench_resnet_train()
+        details["resnet20_amp_train_step_s"] = round(dt, 6)
+        details["resnet20_amp_train_runs"] = runs
+        details["resnet20_amp_train_tflops"] = round(flops_s / 1e12, 2)
+        err(f"ResNet-20 AMP train step (128x28^2): {dt*1e3:.2f}ms = "
+            f"{flops_s/1e12:.2f} TF/s conv-FLOPs")
+
     def st_bert_f32():
         dt, runs, gf = bench_bert_layer()
         details["bert_layer_f32_8x128_fwdbwd_s"] = round(dt, 5)
@@ -823,16 +923,38 @@ def main():
             f"{details['quant_linear_int8_tflops']} TF/s int8)")
 
     def st_decode():
-        tok_s, btok_s, dev_tok_s, dev_btok_s, q_tok_s = bench_decode()
+        (tok_s, btok_s, dev_tok_s, dev_btok_s, bf16_tok_s,
+         q_tok_s) = bench_decode()
         details["decode_single_tok_s"] = round(tok_s, 1)
         details["decode_batch8_tok_s"] = round(btok_s, 1)
         details["decode_device_single_tok_s"] = round(dev_tok_s, 1)
         details["decode_device_batch8_tok_s"] = round(dev_btok_s, 1)
+        details["decode_device_bf16_single_tok_s"] = round(bf16_tok_s, 1)
         details["decode_device_int8_single_tok_s"] = round(q_tok_s, 1)
         err(f"GPT2-small decode: {tok_s:.0f} tok/s single, "
             f"{btok_s:.0f} tok/s aggregate batch-8; device-loop "
-            f"{dev_tok_s:.0f} tok/s single, {dev_btok_s:.0f} tok/s batch-8, "
-            f"int8 {q_tok_s:.0f} tok/s single")
+            f"{dev_tok_s:.0f} tok/s single f32, {dev_btok_s:.0f} tok/s "
+            f"batch-8, bf16 {bf16_tok_s:.0f}, int8 {q_tok_s:.0f} tok/s single")
+
+    def st_serving_engine():
+        static_tok_s, engine_tok_s, speedup = bench_serving_engine()
+        details["serving_static_tok_s"] = round(static_tok_s, 1)
+        details["serving_engine_tok_s"] = round(engine_tok_s, 1)
+        details["serving_engine_vs_static"] = round(speedup, 3)
+        err(f"serving engine (32 ragged reqs, 8 slots): "
+            f"{engine_tok_s:.0f} tok/s vs static batching "
+            f"{static_tok_s:.0f} tok/s ({speedup:.2f}x)")
+
+    def st_speculative():
+        plain_tok_s, spec_tok_s, speedup, t_loss, d_loss = bench_speculative()
+        details["spec_plain_tok_s"] = round(plain_tok_s, 1)
+        details["spec_tok_s"] = round(spec_tok_s, 1)
+        details["spec_vs_plain"] = round(speedup, 3)
+        details["spec_target_loss"] = round(t_loss, 3)
+        details["spec_draft_loss"] = round(d_loss, 3)
+        err(f"speculative k=4 (trained char-GPT pair, losses "
+            f"{t_loss:.2f}/{d_loss:.2f}): {spec_tok_s:.0f} tok/s vs plain "
+            f"{plain_tok_s:.0f} tok/s ({speedup:.2f}x)")
 
     def st_gpt_8x512():
         dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp()
@@ -865,20 +987,42 @@ def main():
             f"{tok_s:.0f} tok/s ({flops_s/1e12:.1f} TF/s, "
             f"mfu {details['gpt2s_amp_16x1024_mfu']})")
 
+    def st_gpt_medium():
+        # GPT-2-medium (355M, 24x1024x16h) -- the scale proof (VERDICT r3
+        # #2): MFU should RISE with model size (d=1024 GEMMs sit closer to
+        # the MXU knee); scan-over-layers + dots-remat + device-side init
+        # exist precisely to make this fit 16 GB HBM.
+        dt, runs, tok_s, flops_s, n_params = bench_gpt_train_amp(
+            batch=8, seq=1024, iters=5, repeats=5, remat="dots",
+            n_embd=1024, n_layer=24, n_head=16)
+        details["gpt2m_amp_train_step_s"] = round(dt, 5)
+        details["gpt2m_amp_train_runs"] = runs
+        details["gpt2m_amp_tokens_per_s"] = round(tok_s, 1)
+        details["gpt2m_amp_mfu"] = round(flops_s / V5E_BF16_PEAK, 4)
+        details["gpt2m_params"] = int(n_params)
+        err(f"GPT2-medium ({n_params/1e6:.0f}M) AMP train 8x1024: "
+            f"{dt*1e3:.1f}ms/step = {tok_s:.0f} tok/s "
+            f"({flops_s/1e12:.1f} TF/s, mfu {details['gpt2m_amp_mfu']})")
+
     # GPT-2 stages last: the most expensive (whole-model compile when the
     # persistent TPU cache is cold; scan-over-layers keeps it bounded)
     stages = [
         ("matmul f32", st_matmul_f32, 0),
         ("matmul bf16", st_matmul_bf16, 0),
         ("conv2d", st_conv, 0),
+        ("conv ResNet stage bf16", st_conv_resnet, 60),
+        ("ResNet-20 AMP train", st_resnet_train, 180),
         ("BERT layer f32", st_bert_f32, 0),
         ("BERT layer bf16", st_bert_bf16, 0),
         ("flash attention f32", st_flash_f32, 180),
         ("flash attention bf16", st_flash_bf16, 120),
         ("int8 serving GEMM", st_quant, 120),
         ("serving decode", st_decode, 240),
+        ("serving engine", st_serving_engine, 300),
+        ("speculative decoding", st_speculative, 420),
         ("GPT-2 AMP train 8x512", st_gpt_8x512, 300),
         ("GPT-2 AMP train 16x1024", st_gpt_16x1024, 240),
+        ("GPT-2-medium AMP train 8x1024", st_gpt_medium, 300),
     ]
     for name, fn, est in stages:
         if _over_budget(name, est_s=est):

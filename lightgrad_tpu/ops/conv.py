@@ -69,13 +69,21 @@ def _dim_numbers(n):
 
 
 def _xla_conv(x, w, strides, dilation, groups):
-    """XLA's native conv emitter -- the optimal MXU path for conv shapes."""
+    """XLA's native conv emitter -- the optimal MXU path for conv shapes.
+
+    Precision follows dtype: f32 keeps HIGHEST (the 6-pass bf16 emulation
+    that makes the tape numerically match the CPU oracle), bf16 inputs run
+    the native one-pass MXU mode -- HIGHEST on bf16 would re-issue the
+    multi-pass schedule and cap conv MFU at ~1/3 of peak for no accuracy
+    (the inputs are already bf16)."""
     n = w.ndim - 2
+    prec = (jax.lax.Precision.DEFAULT if x.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     return jax.lax.conv_general_dilated(
         x, w, window_strides=strides, padding="VALID",
         rhs_dilation=dilation, feature_group_count=groups,
         dimension_numbers=_dim_numbers(n),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 
@@ -156,11 +164,47 @@ def _key(v):
     return v if isinstance(v, int) else tuple(v)
 
 
+@functools.lru_cache(maxsize=1)
+def _policy():
+    """Measured routing table written by benchmarks/conv_sweep.py (the conv
+    analogue of ops/gemm_policy.json): per (dtype, cin->cout, k, stride)
+    ResNet-family shape, the faster of XLA's conv emitter and the
+    implicit-GEMM Pallas path, with the raw timings as provenance."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "conv_policy.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return {}
+
+
+def _route(x, w, strides):
+    """Resolve 'auto' for one conv call against the measured sweep table;
+    exact shape-key match first, else the measured per-dtype default
+    (XLA when nothing has been measured)."""
+    mode = resolve_mode("conv")
+    if mode != "auto":
+        return mode
+    pol = _policy()
+    if not pol:
+        return "xla"
+    tag = "bf16" if x.dtype == jnp.bfloat16 else "f32"
+    st = strides if isinstance(strides, int) else strides[0]
+    key = f"{tag}:c{x.shape[1]}>{w.shape[0]}k{w.shape[-1]}s{st}"
+    ent = pol.get("routes", {}).get(key)
+    if ent:
+        return ent
+    return pol.get("default", {}).get(tag, "xla")
+
+
 def conv_fwd(x, w, strides=1, dilation=1, groups=1):
     return _build_fwd(_key(strides), _key(dilation), groups,
-                      resolve_mode("conv"))(x, w)
+                      _route(x, w, strides))(x, w)
 
 
 def conv_bwd(g, x, w, strides=1, dilation=1, groups=1):
     return _build_bwd(_key(strides), _key(dilation), groups,
-                      resolve_mode("conv"))(g, x, w)
+                      _route(x, w, strides))(g, x, w)

@@ -119,6 +119,10 @@ def resolve_mode(op: str, **hints) -> str:
         # matmul routes per measured table (ops/gemm_policy.json, written by
         # benchmarks/gemm_sweep.py); the caller resolves 'auto' against it
         return "auto"
+    if op == "conv":
+        # conv routes per measured table (ops/conv_policy.json, written by
+        # benchmarks/conv_sweep.py); ops/conv.py resolves 'auto' against it
+        return "auto"
     return "xla"
 
 

@@ -1,0 +1,67 @@
+"""Measured conv routing (ops/conv.py::_route vs conv_policy.json):
+exact shape-key match, per-dtype default fallback, and xla when no policy
+has been measured.  Mirrors the GEMM policy contract (ops/gemm_policy.json).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from lightgrad_tpu.ops import conv, runtime
+
+
+def _with_policy(policy, fn):
+    conv._policy.cache_clear()
+    orig = conv._policy.__wrapped__
+    conv._policy = lambda: policy
+    prev = runtime.set_kernel_mode("auto")
+    try:
+        return fn()
+    finally:
+        runtime.set_kernel_mode(prev)
+        import functools
+        conv._policy = functools.lru_cache(maxsize=1)(orig)
+
+
+def test_route_no_policy_defaults_xla():
+    x = jnp.zeros((2, 16, 8, 8))
+    w = jnp.zeros((16, 16, 3, 3))
+    assert _with_policy({}, lambda: conv._route(x, w, 1)) == "xla"
+
+
+def test_route_exact_key_and_default():
+    pol = {"default": {"f32": "xla", "bf16": "xla"},
+           "routes": {"f32:c16>32k3s2": "pallas"}}
+    x = jnp.zeros((2, 16, 8, 8))
+    w = jnp.zeros((32, 16, 3, 3))
+    assert _with_policy(pol, lambda: conv._route(x, w, 2)) == "pallas"
+    assert _with_policy(pol, lambda: conv._route(x, w, (2, 2))) == "pallas"
+    # unmeasured shape -> per-dtype default
+    w1 = jnp.zeros((16, 16, 3, 3))
+    assert _with_policy(pol, lambda: conv._route(x, w1, 1)) == "xla"
+    xb = jnp.zeros((2, 16, 8, 8), jnp.bfloat16)
+    wb = jnp.zeros((32, 16, 3, 3), jnp.bfloat16)
+    assert _with_policy(pol, lambda: conv._route(xb, wb, 2)) == "xla"
+
+
+def test_explicit_mode_bypasses_policy():
+    pol = {"default": {"f32": "pallas"}, "routes": {}}
+    x = jnp.zeros((2, 16, 8, 8))
+    w = jnp.zeros((16, 16, 3, 3))
+    prev = runtime.set_kernel_mode("xla")
+    try:
+        conv._policy.cache_clear()
+        assert conv._route(x, w, 1) == "xla"
+    finally:
+        runtime.set_kernel_mode(prev)
+
+
+def test_bf16_conv_value_sane():
+    """bf16 conv (DEFAULT precision path) still matches f32 within bf16
+    tolerance -- guards the precision-by-dtype switch in _xla_conv."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (2, 8, 10, 10)).astype(np.float32)
+    w = rng.uniform(-0.3, 0.3, (4, 8, 3, 3)).astype(np.float32)
+    y32 = np.asarray(conv.conv_fwd(jnp.asarray(x), jnp.asarray(w)))
+    y16 = np.asarray(conv.conv_fwd(jnp.asarray(x, jnp.bfloat16),
+                                   jnp.asarray(w, jnp.bfloat16)))
+    assert np.allclose(y32, y16.astype(np.float32), atol=0.15, rtol=0.1)
