@@ -540,6 +540,43 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
             new_tokens / bf16_single_s, new_tokens / q_single_s)
 
 
+def bench_decode_longctx(prompt_len=1500, new_tokens=64, window=2048,
+                         vocab=50257):
+    """Long-context decode: at W=2048 the KV read is a first-class
+    bandwidth term (L*2*d*W = 75 MB/token f32 vs 25 MB bf16 weights), the
+    regime quantize_kv() targets.  bf16 weights throughout; cache bf16 vs
+    int8+scales (VERDICT r3 #9)."""
+    import jax.numpy as jnp
+    from lightgrad_tpu.models import GPT, GPTConfig
+
+    np.random.seed(0)
+    cfg = GPTConfig(vocab_size=vocab, n_positions=window, n_embd=768,
+                    n_layer=12, n_head=12)
+    light.set_device_init(True)
+    try:
+        model = GPT(cfg)
+    finally:
+        light.set_device_init(False)
+    light.amp.cast_module(model, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    prompt = [int(t) for t in rng.integers(0, vocab, prompt_len)]
+
+    def timed(reps=3):
+        model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            out = model.generate_device(prompt, max_new_tokens=new_tokens)
+            ts.append(time.time() - t0)
+        assert len(out) == prompt_len + new_tokens
+        return sorted(ts)[len(ts) // 2]
+
+    bf16_s = timed()
+    model.quantize_kv()
+    q_s = timed()
+    return new_tokens / bf16_s, new_tokens / q_s, bf16_s / q_s
+
+
 def bench_serving_engine(n_requests=32, slots=8, steps_per_tick=8,
                          window=256, vocab=50257):
     """Continuous batching vs naive static batching on GPT-2-small-class
@@ -936,6 +973,15 @@ def main():
             f"{dev_tok_s:.0f} tok/s single f32, {dev_btok_s:.0f} tok/s "
             f"batch-8, bf16 {bf16_tok_s:.0f}, int8 {q_tok_s:.0f} tok/s single")
 
+    def st_decode_longctx():
+        bf16_tok_s, q_tok_s, speedup = bench_decode_longctx()
+        details["decode_2k_bf16kv_tok_s"] = round(bf16_tok_s, 1)
+        details["decode_2k_int8kv_tok_s"] = round(q_tok_s, 1)
+        details["decode_2k_int8kv_speedup"] = round(speedup, 3)
+        err(f"decode 2k-context (1500-token prompt): bf16 KV "
+            f"{bf16_tok_s:.0f} tok/s, int8 KV {q_tok_s:.0f} tok/s "
+            f"({speedup:.2f}x)")
+
     def st_serving_engine():
         static_tok_s, engine_tok_s, speedup = bench_serving_engine()
         details["serving_static_tok_s"] = round(static_tok_s, 1)
@@ -1018,11 +1064,12 @@ def main():
         ("flash attention bf16", st_flash_bf16, 120),
         ("int8 serving GEMM", st_quant, 120),
         ("serving decode", st_decode, 240),
+        ("GPT-2 AMP train 8x512", st_gpt_8x512, 300),
+        ("GPT-2-medium AMP train 8x1024", st_gpt_medium, 300),
+        ("GPT-2 AMP train 16x1024", st_gpt_16x1024, 240),
+        ("decode 2k-context int8 KV", st_decode_longctx, 240),
         ("serving engine", st_serving_engine, 300),
         ("speculative decoding", st_speculative, 420),
-        ("GPT-2 AMP train 8x512", st_gpt_8x512, 300),
-        ("GPT-2 AMP train 16x1024", st_gpt_16x1024, 240),
-        ("GPT-2-medium AMP train 8x1024", st_gpt_medium, 300),
     ]
     for name, fn, est in stages:
         if _over_budget(name, est_s=est):

@@ -237,7 +237,9 @@ def generate_batch_device(model, prompts, max_new_tokens: int,
     for i, pr in enumerate(prompts):
         toks[i, :len(pr)] = pr
     c0 = init_cache()
-    caches = jnp.zeros((B,) + c0.shape, c0.dtype)
+    # cache may be a pytree (int8 KV cache = (rows, scales)); stack per-leaf
+    caches = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((B,) + a.shape, a.dtype), c0)
     keys = jnp.stack([jax.random.PRNGKey(seed + i) for i in range(B)])
     new = np.asarray(brun(prefill.params, caches, jnp.asarray(toks),
                           jnp.asarray(lens, np.int32), keys))
@@ -339,7 +341,9 @@ def generate_batch(model, prompts, max_new_tokens: int,
     for i, pr in enumerate(prompts):
         toks[i, :len(pr)] = pr
     c0 = init_cache()
-    caches = jnp.zeros((B,) + c0.shape, c0.dtype)
+    # cache may be a pytree (int8 KV cache = (rows, scales)); stack per-leaf
+    caches = jax.tree_util.tree_map(
+        lambda a: jnp.zeros((B,) + a.shape, a.dtype), c0)
     caches, logits = bprefill(prefill.params, caches, jnp.asarray(toks),
                               jnp.asarray(lens, np.int32))
     rng = rng or np.random.default_rng(0)

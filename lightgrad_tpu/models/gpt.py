@@ -336,6 +336,24 @@ class GPT(nn.Module):
         def gelu(x):
             return 0.5 * x * (1 + jnp.tanh(0.7978845608028654 * (x + 0.044715 * x**3)))
 
+        # int8 KV cache (quantize_kv()): at long windows the KV read becomes
+        # the decode bandwidth term (W x L x 2 x d bytes/token vs the fixed
+        # weight bytes) -- store cache rows as per-row symmetric int8 with
+        # f32 scales (scale overhead hd x smaller than the row).  The
+        # int8->f32 convert fuses into the score/context dot's operand read;
+        # the K scale lands on the score column, the V scale folds into the
+        # softmax probabilities, so no dequantized cache ever materializes.
+        kv_quant = bool(getattr(self, "_kv_quant", False))
+
+        def _q_rows(kv):
+            """(..., hd) rows -> (int8 rows, (..., 1) f32 scales)."""
+            s = jnp.maximum(
+                jnp.max(jnp.abs(kv.astype(jnp.float32)), -1, keepdims=True),
+                1e-8) / 127.0
+            q8 = jnp.clip(jnp.round(kv.astype(jnp.float32) / s),
+                          -127, 127).astype(jnp.int8)
+            return q8, s
+
         # Decode megakernel (ops/decode_stack.py): the whole L-layer step in
         # ONE pallas program.  The per-token cost of the unrolled XLA loop
         # is dominated by a ~0.58 ms fixed floor of ~110 small thunk
@@ -345,10 +363,60 @@ class GPT(nn.Module):
         # lazily here (a transposed slab copy of the layer weights) only
         # when the pallas kernel path is active at build time.
         from lightgrad_tpu.ops.runtime import kernel_mode as _kmode
-        if (_kmode() != "xla" and cfg.n_experts == 0
+        if (_kmode() != "xla" and cfg.n_experts == 0 and not kv_quant
                 and hd % 8 == 0 and cfg.n_embd % 128 == 0):
             from lightgrad_tpu.ops.decode_stack import pack_gpt_stack
             p.update(pack_gpt_stack(p, L, cfg.n_embd))
+
+        def _write_and_attend(cache, l, q, k, v, pos):
+            """Write layer ``l``'s new K/V row(s) at ``pos`` and attend.
+
+            q/k/v: (H, n, hd) (n=1 for single-token decode).  Plain cache:
+            ONE dynamic_update_slice straight into the stacked array (the
+            slice/update/write-back idiom made XLA materialize full
+            (H, W, hd) copies per layer -- 0.10 ms/token, decode_budget.py
+            no_kv_write ablation), then the fused scores+mask+softmax+
+            context kernel (ops/decode_attention.py).  int8 cache: quantize
+            the new rows, then dequantize-in-dot -- the int8->f32 convert
+            fuses into the dot's operand read, the K scale multiplies the
+            score column, the V scale folds into the probabilities."""
+            n = q.shape[1]
+            if kv_quant:
+                cq, cs = cache
+                kvq, kvs = _q_rows(jnp.stack([k, v]))      # (2, H, n, hd)
+                cq = jax.lax.dynamic_update_slice(
+                    cq, kvq[None], (l, 0, 0, pos, 0))
+                cs = jax.lax.dynamic_update_slice(
+                    cs, kvs[None], (l, 0, 0, pos, 0))
+                kq, ks = cq[l, 0], cs[l, 0]                # (H,W,hd),(H,W,1)
+                vq, vs = cq[l, 1], cs[l, 1]
+                s = jnp.einsum("hqd,hkd->hqk", q.astype(jnp.float32),
+                               kq.astype(jnp.float32)) * scale
+                s = s * ks[:, :, 0][:, None, :]
+                rows = pos + jnp.arange(n, dtype=jnp.int32)
+                ok = rows[None, :, None] >= \
+                    jnp.arange(W, dtype=jnp.int32)[None, None, :]
+                s = jnp.where(ok, s, -1e30)
+                pr = jax.nn.softmax(s, axis=-1)
+                pr = pr * vs[:, :, 0][:, None, :]
+                att = jnp.einsum("hqk,hkd->hqd", pr, vq.astype(jnp.float32))
+                att = att.astype(cdt)
+                cache = (cq, cs)
+            else:
+                cache = jax.lax.dynamic_update_slice(
+                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos, 0))
+                kc, vc = cache[l, 0], cache[l, 1]
+                if n == 1:
+                    att = kdecode_attn(q, kc, vc, pos, scale)
+                else:
+                    rows = pos + jnp.arange(n, dtype=jnp.int32)
+                    vis = rows[None, :, None] >= \
+                        jnp.arange(W, dtype=jnp.int32)[None, None, :]
+                    s = jnp.einsum("hqd,hkd->hqk", q, kc) * scale
+                    s = jnp.where(vis, s, -1e30)
+                    att = jax.nn.softmax(s, axis=-1) @ vc
+            att = att.transpose(1, 0, 2).reshape(n, H * hd)
+            return cache, att
 
         def step(p, cache, pos, tok):
             """One token at position ``pos``: returns (cache, logits).
@@ -377,17 +445,7 @@ class GPT(nn.Module):
                 qkv = mm(h, p, pre + "attn.c_attn.weight") \
                     + p[pre + "attn.c_attn.bias"]
                 q, k, v = [a.reshape(H, 1, hd) for a in jnp.split(qkv[0], 3)]
-                # ONE dynamic_update_slice straight into the stacked cache:
-                # the slice/update/write-back idiom made XLA materialize full
-                # (H, W, hd) copies per layer -- measured 0.10 ms/token
-                # (benchmarks/decode_budget.py, no_kv_write ablation)
-                cache = jax.lax.dynamic_update_slice(
-                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos, 0))
-                kc, vc = cache[l, 0], cache[l, 1]
-                # fused scores+mask+softmax+context: ONE kernel instead of
-                # ~6 thunks on KB operands (ops/decode_attention.py)
-                att = kdecode_attn(q.reshape(H, 1, hd), kc, vc, pos, scale)
-                att = att.reshape(1, H * hd)
+                cache, att = _write_and_attend(cache, l, q, k, v, pos)
                 x = x + mm(att, p, pre + "attn.c_proj.weight") \
                     + p[pre + "attn.c_proj.bias"]
                 h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
@@ -399,6 +457,9 @@ class GPT(nn.Module):
             return cache, head_mm(x, p)[0]                       # (vocab,)
 
         def init_cache():
+            if kv_quant:
+                return (jnp.zeros((L, 2, H, W, hd), jnp.int8),
+                        jnp.zeros((L, 2, H, W, 1), jnp.float32))
             return jnp.zeros((L, 2, H, W, hd), dtype=p["wte.weight"].dtype)
 
         def prefill(p, cache, toks, n_real):
@@ -422,7 +483,15 @@ class GPT(nn.Module):
                 q = q.reshape(W, H, hd).transpose(1, 0, 2)       # (H, W, hd)
                 k = k.reshape(W, H, hd).transpose(1, 0, 2)
                 v = v.reshape(W, H, hd).transpose(1, 0, 2)
-                cache = cache.at[l, 0].set(k).at[l, 1].set(v)
+                if kv_quant:
+                    # quantize-on-write: the prefill pass itself attends the
+                    # full-precision K/V it just computed; decode steps read
+                    # the int8 rows
+                    cq, cs = cache
+                    kvq, kvs = _q_rows(jnp.stack([k, v]))
+                    cache = (cq.at[l].set(kvq), cs.at[l].set(kvs))
+                else:
+                    cache = cache.at[l, 0].set(k).at[l, 1].set(v)
                 scores = jnp.einsum("hqd,hkd->hqk", q, k) * scale
                 scores = jnp.where(causal, scores, -1e30)
                 att = jax.nn.softmax(scores, axis=-1) @ v        # (H, W, hd)
@@ -450,7 +519,6 @@ class GPT(nn.Module):
             K = toks.shape[0]
             rows = pos0 + jnp.arange(K, dtype=jnp.int32)
             x = p["wte.weight"][toks] + p["wpe.weight"][rows]    # (K, d)
-            vis = rows[None, :, None] >= jnp.arange(W)[None, None, :]
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
@@ -460,13 +528,7 @@ class GPT(nn.Module):
                 q = q.reshape(K, H, hd).transpose(1, 0, 2)       # (H, K, hd)
                 k = k.reshape(K, H, hd).transpose(1, 0, 2)
                 v = v.reshape(K, H, hd).transpose(1, 0, 2)
-                cache = jax.lax.dynamic_update_slice(
-                    cache, jnp.stack([k, v])[None], (l, 0, 0, pos0, 0))
-                kc, vc = cache[l, 0], cache[l, 1]                # (H, W, hd)
-                s = jnp.einsum("hqd,hkd->hqk", q, kc) * scale    # (H, K, W)
-                s = jnp.where(vis, s, -1e30)
-                att = jax.nn.softmax(s, axis=-1) @ vc            # (H, K, hd)
-                att = att.transpose(1, 0, 2).reshape(K, H * hd)
+                cache, att = _write_and_attend(cache, l, q, k, v, pos0)
                 x = x + mm(att, p, pre + "attn.c_proj.weight") \
                     + p[pre + "attn.c_proj.bias"]
                 h2 = ln(x, p[pre + "ln_2.weight"], p[pre + "ln_2.bias"])
@@ -549,6 +611,20 @@ class GPT(nn.Module):
         per-token traffic vs bf16; training/forward paths are untouched.
         Rebuilds the decode programs on the next generate call."""
         self._serve_quant = bool(enable)
+        for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
+                     "_dev_gen_batch"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
+    def quantize_kv(self, enable: bool = True):
+        """int8 KV cache: store decode-cache rows as per-row symmetric int8
+        with f32 scales.  At long windows the KV read is the decode
+        bandwidth term (W*L*2*d bytes/token, vs fixed weight bytes); int8
+        halves it vs bf16 (4x vs f32) at ~1e-3 relative error per row.
+        Composes with quantize_serving() (int8 weights + int8 KV).
+        Rebuilds the decode programs on the next generate call."""
+        self._kv_quant = bool(enable)
         for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
                      "_dev_gen_batch"):
             if hasattr(self, attr):

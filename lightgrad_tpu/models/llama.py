@@ -389,6 +389,18 @@ class Llama(nn.Module):
                 return x @ p["embed_tokens.weight"].T
             return mm(x, p, "lm_head.weight")
 
+        # int8 KV cache (quantize_kv(), see gpt.py): per-row symmetric int8
+        # rows + f32 scales; dequant fuses into the score/context dots
+        kv_quant = bool(getattr(self, "_kv_quant", False))
+
+        def _q_rows(kv):
+            s = jnp.maximum(
+                jnp.max(jnp.abs(kv.astype(jnp.float32)), -1, keepdims=True),
+                1e-8) / 127.0
+            q8 = jnp.clip(jnp.round(kv.astype(jnp.float32) / s),
+                          -127, 127).astype(jnp.int8)
+            return q8, s
+
         def rms(x, w):
             var = jnp.mean(x * x, axis=-1, keepdims=True)
             return x * jax.lax.rsqrt(var + eps) * (w + off if off else w)
@@ -432,17 +444,43 @@ class Llama(nn.Module):
                 # the read-slice/update/write-back idiom made XLA materialize
                 # full (KV, W, hd) slice copies per layer -- measured 0.10 ms
                 # per decoded token on GPT-2-small (benchmarks/decode_budget)
-                kv_new = jnp.stack([k, v])[None]            # (1, 2, KV, 1, hd)
-                cache = jax.lax.dynamic_update_slice(
-                    cache, kv_new, (l, 0, 0, pos, 0))
-                kc, vc = cache[l, 0], cache[l, 1]
-                # fused grouped-query decode attention: scores + mask +
-                # softmax + context in ONE kernel, the rep query heads of
-                # each KV head served without a repeated K/V copy
-                # (ops/decode_attention.py)
-                att = kdecode_attn(q.reshape(KV, rep, hd), kc, vc, pos,
-                                   scale, window=swin or 0)
-                att = att.reshape(1, H * hd)
+                if kv_quant:
+                    cq, cs = cache
+                    kvq, kvs = _q_rows(jnp.stack([k, v]))  # (2, KV, 1, hd)
+                    cq = jax.lax.dynamic_update_slice(
+                        cq, kvq[None], (l, 0, 0, pos, 0))
+                    cs = jax.lax.dynamic_update_slice(
+                        cs, kvs[None], (l, 0, 0, pos, 0))
+                    kq3, ks3 = cq[l, 0], cs[l, 0]   # (KV,W,hd), (KV,W,1)
+                    vq3, vs3 = cq[l, 1], cs[l, 1]
+                    q3 = q.reshape(KV, rep, hd).astype(jnp.float32)
+                    s3 = jnp.einsum("kgd,ksd->kgs", q3,
+                                    kq3.astype(jnp.float32)) * scale
+                    s3 = s3 * ks3[:, :, 0][:, None, :]
+                    colr = jnp.arange(W, dtype=jnp.int32)
+                    ok = (colr <= pos)[None, None, :]
+                    if swin:
+                        ok = jnp.logical_and(
+                            ok, (colr > pos - swin)[None, None, :])
+                    s3 = jnp.where(ok, s3, -1e30)
+                    pr = jax.nn.softmax(s3, axis=-1) \
+                        * vs3[:, :, 0][:, None, :]
+                    att = jnp.einsum("kgs,ksd->kgd", pr,
+                                     vq3.astype(jnp.float32))
+                    att = att.astype(cdt).reshape(1, H * hd)
+                    cache = (cq, cs)
+                else:
+                    kv_new = jnp.stack([k, v])[None]    # (1, 2, KV, 1, hd)
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, kv_new, (l, 0, 0, pos, 0))
+                    kc, vc = cache[l, 0], cache[l, 1]
+                    # fused grouped-query decode attention: scores + mask +
+                    # softmax + context in ONE kernel, the rep query heads
+                    # of each KV head served without a repeated K/V copy
+                    # (ops/decode_attention.py)
+                    att = kdecode_attn(q.reshape(KV, rep, hd), kc, vc, pos,
+                                       scale, window=swin or 0)
+                    att = att.reshape(1, H * hd)
                 x = x + mm(att, p, pre + "self_attn.o_proj.weight")
                 h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
                 if n_exp:
@@ -469,6 +507,9 @@ class Llama(nn.Module):
             return cache, head_mm(x, p)[0]
 
         def init_cache():
+            if kv_quant:
+                return (jnp.zeros((L, 2, KV, W, hd), jnp.int8),
+                        jnp.zeros((L, 2, KV, W, 1), jnp.float32))
             return jnp.zeros((L, 2, KV, W, hd), dtype=p["embed_tokens.weight"].dtype)
 
         def prefill_scan(p, cache, toks, n_real):
@@ -517,7 +558,14 @@ class Llama(nn.Module):
                 q = rope_all(q.reshape(W, H, hd).transpose(1, 0, 2))
                 k = rope_all(k.reshape(W, KV, hd).transpose(1, 0, 2))
                 v = v.reshape(W, KV, hd).transpose(1, 0, 2)
-                cache = cache.at[l, 0].set(k).at[l, 1].set(v)
+                if kv_quant:
+                    # quantize-on-write; the prefill pass itself attends the
+                    # full-precision K/V it just computed (see gpt.py)
+                    cq, cs = cache
+                    kvq, kvs = _q_rows(jnp.stack([k, v]))
+                    cache = (cq.at[l].set(kvq), cs.at[l].set(kvs))
+                else:
+                    cache = cache.at[l, 0].set(k).at[l, 1].set(v)
                 # grouped-query form (free g dim on the lhs): no repeated K/V
                 q4 = q.reshape(KV, rep, W, hd)
                 scores = jnp.einsum("kgqd,ksd->kgqs", q4, k) * scale
@@ -556,6 +604,17 @@ class Llama(nn.Module):
         projections in the compiled KV programs; embedding gather and the
         MoE router stay full-precision.  Rebuilds on next generate."""
         self._serve_quant = bool(enable)
+        for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
+                     "_dev_gen_batch"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+        return self
+
+    def quantize_kv(self, enable: bool = True):
+        """int8 KV cache (see gpt.py quantize_kv): per-row symmetric int8
+        cache rows + f32 scales, GQA-aware dequant-in-dot.  Composes with
+        quantize_serving().  Rebuilds on next generate."""
+        self._kv_quant = bool(enable)
         for attr in ("_kv_fns", "_kv_batch_fns", "_dev_gen",
                      "_dev_gen_batch"):
             if hasattr(self, attr):

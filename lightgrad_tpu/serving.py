@@ -87,7 +87,10 @@ class InferenceEngine:
             model._kv_fns = model._kv_functions()
         init_cache, prefill, step = model._kv_fns
         c0 = init_cache()
-        self._caches = jnp.zeros((slots,) + c0.shape, c0.dtype)
+        # cache may be a pytree (int8 KV cache = (rows, scales)): stack and
+        # slot-update per leaf
+        self._caches = jax.tree_util.tree_map(
+            lambda a: jnp.zeros((slots,) + a.shape, a.dtype), c0)
 
         # compiled once each: slot admission (prefill + stacked-cache write)
         # and the all-slots decode tick.  Params enter as runtime arguments
@@ -95,9 +98,11 @@ class InferenceEngine:
         # out of the serialized programs
         @jax.jit
         def admit_impl(p, caches, slot, toks, n_real):
-            cache, logits = prefill.fn(p, jnp.zeros(c0.shape, c0.dtype),
-                                       toks, n_real)
-            return caches.at[slot].set(cache), logits
+            fresh = jax.tree_util.tree_map(
+                lambda a: jnp.zeros(a.shape, a.dtype), c0)
+            cache, logits = prefill.fn(p, fresh, toks, n_real)
+            return jax.tree_util.tree_map(
+                lambda cs, c: cs.at[slot].set(c), caches, cache), logits
 
         self._admit = lambda *a: admit_impl(prefill.params, *a)
         bstep_impl = jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0)))
