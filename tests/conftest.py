@@ -14,7 +14,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in _flags:
+    # XLA:CPU in-process collectives SIGABRT ("rendezvous.cc Termination
+    # timeout") when a virtual-device thread is starved >40 s -- routine on
+    # this 1-core CI host under the heavier shard_map tests.  Raise the
+    # limit; a genuinely hung rendezvous still aborts, just later.
+    _flags += " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+os.environ["XLA_FLAGS"] = _flags
 
 if os.environ.get("LIGHTGRAD_TEST_TPU") != "1":
     import jax
