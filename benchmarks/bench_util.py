@@ -11,7 +11,32 @@ import time
 
 import numpy as np
 
-__all__ = ["time_median", "readback"]
+__all__ = ["time_median", "readback", "dispatch_floor"]
+
+_floor = None
+
+
+def dispatch_floor(refresh=False):
+    """Measured one-dispatch+readback round-trip (median of 7).
+
+    The tunnel's RTT swings 1-60 ms with tenancy; every region timing pays
+    it once (the final readback), so ``time_median`` scales region length
+    against this number.  Cached after the first call."""
+    global _floor
+    if _floor is None or refresh:
+        import jax
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8, 128))
+        readback(f(x))
+        ts = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            readback(f(x))
+            ts.append(time.perf_counter() - t0)
+        _floor = float(np.median(ts))
+    return _floor
 
 
 def readback(y):
@@ -23,11 +48,30 @@ def readback(y):
     return float(np.asarray(arr))
 
 
-def time_median(fn, iters: int = 20, repeats: int = 5, warmup: int = 2):
-    """Return (median_seconds_per_call, [per-region seconds-per-call])."""
+def time_median(fn, iters: int = 20, repeats: int = 5, warmup: int = 2,
+                adaptive: bool = True):
+    """Return (median_seconds_per_call, [per-region seconds-per-call]).
+
+    ``adaptive``: a timed region ends in one readback, which costs a full
+    tunnel round-trip (1-60 ms with tenancy).  After warmup, one probe
+    region estimates the per-call time; if the readback would be >2% of the
+    region, ``iters`` is raised so the region spans >=50 floors (capped at
+    2000 calls / ~10 s) -- degraded-tunnel windows then bias the medians by
+    <2% instead of halving them."""
     for _ in range(warmup):
         y = fn()
     readback(y)
+    if adaptive:
+        floor = dispatch_floor()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y = fn()
+        readback(y)
+        per_call = max((time.perf_counter() - t0) / iters, 1e-7)
+        target = 50.0 * floor
+        if iters * per_call < target:
+            iters = min(int(target / per_call) + 1, 2000,
+                        max(iters, int(10.0 / per_call) + 1))
     vals = []
     for _ in range(repeats):
         t0 = time.perf_counter()
