@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import lightgrad_tpu  # noqa: F401  (cache setup)
 from lightgrad_tpu.ops.conv import _conv_fwd_impl, _conv_bwd_impl
 
-V5E_BF16_PEAK = 394e12  # one v5e chip, bf16
+V5E_BF16_PEAK = 197e12  # one v5e chip, bf16 (394 is int8)
 
 # (batch, cin, spatial, cout, k, stride) -- ResNet-18/50 stage shapes + the
 # CIFAR ResNet-20 stem; VALID padding (the framework's conv contract), so

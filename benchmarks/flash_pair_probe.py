@@ -140,7 +140,7 @@ def main(bh=96, s=2048, d=64, chain=4):
                           ("head-pair", pair_chain, qp)):
         dt = time_median(lambda: fn(arg)) / chain
         print(f"{name:11s} fwd {bh}x{s}x{d}: {dt*1e3:7.2f} ms  "
-              f"{flops/dt/1e12:6.1f} TF/s  (mfu {flops/dt/394e12:.3f})",
+              f"{flops/dt/1e12:6.1f} TF/s  (mfu {flops/dt/197e12:.3f})",
               flush=True)
 
 

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import flax.linen as fnn
 import optax
 
-V5E_BF16_PEAK = 394e12
+V5E_BF16_PEAK = 197e12  # v5e bf16 peak (394 is int8)
 
 
 def time_median(run, repeats=5):

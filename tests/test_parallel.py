@@ -72,16 +72,38 @@ def test_checkpoint_resume_preserves_sharding(tmp_path):
     np.testing.assert_allclose(q2.numpy(), saved, rtol=0, atol=0)
 
 
+@pytest.mark.slow  # minutes of 8-device legs; the driver runs this each round
 @needs_mesh
 def test_dryrun_multichip():
-    import importlib.util
+    """Drive the driver's multichip artifact end-to-end -- in a SUBPROCESS.
 
-    spec = importlib.util.spec_from_file_location(
-        "graft_entry", "__graft_entry__.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    In-process it would run inline (this harness already has 8 virtual
+    devices) and an XLA:CPU collective rendezvous abort -- routine when 8
+    device threads starve on this 1-core host -- takes the whole pytest
+    process down with it (observed: 15-min hang then SIGABRT at 62%% of the
+    default suite).  A child process contains the blast radius and
+    exercises exactly the path the driver runs."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("_LIGHTGRAD_DRYRUN_CHILD", None)
+    # drop the harness's pre-forced device count: the child bootstraps its
+    # own 8-device mesh (and retries once on a rendezvous abort)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split() if "device_count" not in f)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import importlib.util; "
+         "spec = importlib.util.spec_from_file_location('ge', '__graft_entry__.py'); "
+         "m = importlib.util.module_from_spec(spec); "
+         "spec.loader.exec_module(m); m.dryrun_multichip(8)"],
+        env=env, capture_output=True, text=True, timeout=3000,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed rc={proc.returncode}:\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
 
 
 @pytest.mark.slow  # 85 s: GPipe shard_map compile on the 1-core host
