@@ -43,6 +43,40 @@ def test_route_exact_key_and_default():
     assert _with_policy(pol, lambda: conv._route(xb, wb, 2)) == "xla"
 
 
+def test_committed_policy_loads_and_routes():
+    """The MEASURED table (conv_policy.json, written by benchmarks/
+    conv_sweep.py on the v5e, 2026-08-20) must exist, be non-empty, and
+    resolve 'auto' for the shapes it measured (VERDICT r4 next #2: the r4
+    tree shipped the dispatcher with no measurements -- every conv silently
+    routed to the empty-table default)."""
+    conv._policy.cache_clear()
+    pol = conv._policy()
+    assert pol, "lightgrad_tpu/ops/conv_policy.json missing or empty"
+    assert pol["routes"] and pol["measurements"]
+    assert set(pol["default"]) == {"f32", "bf16"}
+    # every measured entry carries raw timings as provenance
+    for ent in pol["measurements"]:
+        assert "xla_fwdbwd_ms" in ent or "xla_error" in ent, ent
+    # the real table resolves a ResNet body shape (exact-key path)
+    x = jnp.zeros((32, 64, 58, 58))
+    w = jnp.zeros((64, 64, 3, 3))
+    prev = runtime.set_kernel_mode("auto")
+    try:
+        got = conv._route(x, w, 1)
+    finally:
+        runtime.set_kernel_mode(prev)
+    assert got == pol["routes"]["f32:c64>64k3s1"]
+    # an unmeasured shape resolves through the measured per-dtype default
+    xb = jnp.zeros((2, 7, 8, 8), jnp.bfloat16)
+    wb = jnp.zeros((5, 7, 3, 3), jnp.bfloat16)
+    prev = runtime.set_kernel_mode("auto")
+    try:
+        got = conv._route(xb, wb, 1)
+    finally:
+        runtime.set_kernel_mode(prev)
+    assert got == pol["default"]["bf16"]
+
+
 def test_explicit_mode_bypasses_policy():
     pol = {"default": {"f32": "pallas"}, "routes": {}}
     x = jnp.zeros((2, 16, 8, 8))
