@@ -55,9 +55,11 @@ def time_median(fn, iters: int = 20, repeats: int = 5, warmup: int = 2,
     ``adaptive``: a timed region ends in one readback, which costs a full
     tunnel round-trip (1-60 ms with tenancy).  After warmup, one probe
     region estimates the per-call time; if the readback would be >2% of the
-    region, ``iters`` is raised so the region spans >=50 floors (capped at
-    2000 calls / ~10 s) -- degraded-tunnel windows then bias the medians by
-    <2% instead of halving them."""
+    region, ``iters`` is raised so the region spans >=50 floors (bounded by
+    a ~10 s wall-clock cap per region) -- degraded-tunnel windows then bias
+    the medians by <2% instead of halving them.  Past the wall cap the <2%
+    guarantee no longer holds (a region cannot span 50 floors of a 60 ms
+    RTT in 10 s at >3.3 ms/call); the cap trades bias for bounded runtime."""
     for _ in range(warmup):
         y = fn()
     readback(y)
@@ -67,10 +69,15 @@ def time_median(fn, iters: int = 20, repeats: int = 5, warmup: int = 2,
         for _ in range(iters):
             y = fn()
         readback(y)
-        per_call = max((time.perf_counter() - t0) / iters, 1e-7)
+        per_call = (time.perf_counter() - t0) / iters
+        # the probe region itself paid one readback RTT amortized over
+        # ``iters``; subtract it or the estimate overshoots exactly in
+        # degraded windows (floor 60 ms / 20 iters = +3 ms on a 0.5 ms op)
+        # and the lengthened region lands at ~8 floors instead of 50
+        per_call = max(per_call - floor / iters, 1e-7)
         target = 50.0 * floor
         if iters * per_call < target:
-            iters = min(int(target / per_call) + 1, 2000,
+            iters = min(int(target / per_call) + 1,
                         max(iters, int(10.0 / per_call) + 1))
     vals = []
     for _ in range(repeats):

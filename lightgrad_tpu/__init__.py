@@ -17,6 +17,18 @@ import os as _os
 # export TF_CPP_MIN_LOG_LEVEL yourself to override.
 _os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
+# Platform escape hatch: the axon TPU plugin ignores JAX_PLATFORMS, so on a
+# host with a contended/wedged tunnel a CPU-sized script (examples/
+# gradient_descent.py is a 1-second workload) can hang indefinitely grabbing
+# the TPU.  LIGHTGRAD_PLATFORM=cpu applies the jax.config workaround the
+# test harness already uses (tests/conftest.py) before any backend
+# initializes.  Values: any jax_platforms string ("cpu", "tpu", ...).
+_platform = _os.environ.get("LIGHTGRAD_PLATFORM")
+if _platform:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _platform)
+
 from . import data, loss, nn, optim, autograd
 from .autograd import (
     Tensor,
