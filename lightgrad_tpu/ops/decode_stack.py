@@ -58,7 +58,28 @@ def _kernel_int8(pos_ref, x_ref, slab_ref, scale_ref, vec_ref, cache_ref,
     _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
                  kv_ref, hln, qkv, att, mlp, xacc, acc,
                  scale_row=lambda: scale_ref[0, 0].astype(jnp.float32),
-                 **kw)
+                 kvs_ref=None, **kw)
+
+
+def _kernel_kvq(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, kvs_ref,
+                xout_ref, kv_ref, hln, qkv, att, mlp, xacc, acc, **kw):
+    """int8 KV-cache variant: the cache block is int8 rows, ``kvs_ref`` the
+    per-row f32 scales; dequant fuses into the score/context dot's operand
+    read (scale the (W, hd) rows, never transpose the (W, 1) scale)."""
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, hln, qkv, att, mlp, xacc, acc,
+                 scale_row=None, kvs_ref=kvs_ref, **kw)
+
+
+def _kernel_int8_kvq(pos_ref, x_ref, slab_ref, scale_ref, vec_ref, cache_ref,
+                     kvs_ref, xout_ref, kv_ref, hln, qkv, att, mlp, xacc,
+                     acc, **kw):
+    """int8 weights AND int8 KV cache composed (the long-context serving
+    configuration: quantize_serving() + quantize_kv())."""
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, hln, qkv, att, mlp, xacc, acc,
+                 scale_row=lambda: scale_ref[0, 0].astype(jnp.float32),
+                 kvs_ref=kvs_ref, **kw)
 
 
 def pack_gpt_stack(p, L, d, R=4):
@@ -117,7 +138,8 @@ def pack_gpt_stack(p, L, d, R=4):
     return out
 
 
-def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4):
+def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4,
+                 kv_scales=None):
     """One decode step through the whole layer stack.
 
     x: (1, d) compute-dtype residual input (embeddings already summed);
@@ -126,15 +148,28 @@ def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4):
     caller scatters ``kv`` into the cache at row ``pos`` with one
     dynamic_update_slice (kernel outputs must not write dynamic rows of a
     revisited block, and one DUS for all L layers beats 12 in-step ones).
+
+    ``kv_scales`` (L, 2, H, W, 1) f32 switches on the int8-KV-cache path
+    (quantize_kv composed with the megakernel, VERDICT r4 next #3):
+    ``cache`` is then the int8 row store, and the per-row dequant fuses
+    into the score/context dots by scaling the (W, hd) row block -- never
+    transposing the (W, 1) scale column, which Mosaic cannot shape-cast.
+    The new token's own K/V row is attended at FULL precision (the
+    unrolled fallback attends its freshly-quantized image -- a <=1-ULP-of-
+    int8 difference on one attention term); the ``kv`` output stays full
+    precision and the caller quantizes it with the same _q_rows formula
+    the fallback uses, so the CACHE contents are identical between paths.
     """
     L, S, d, _ = slabs.shape
     _, _, H, W, hd = cache.shape
     scale = float(1.0 / np.sqrt(hd))
     int8 = scales is not None
+    kvq = kv_scales is not None
     pos2d = jnp.asarray(pos, jnp.int32).reshape(1, 1)
 
     kern = functools.partial(
-        _kernel_int8 if int8 else _kernel_noscale,
+        (_kernel_int8_kvq if int8 else _kernel_kvq) if kvq
+        else (_kernel_int8 if int8 else _kernel_noscale),
         L=L, S=S, R=R, H=H, hd=hd, eps=float(eps), scale=scale)
 
     in_specs = [
@@ -156,6 +191,11 @@ def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4):
                      memory_space=pltpu.VMEM),
     ]
     args += [vecs, cache]
+    if kvq:
+        in_specs.append(pl.BlockSpec((1, 2, H, W, 1),
+                                     lambda l, s: (l, 0, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(kv_scales)
 
     x_out, kv = pl.pallas_call(
         kern,
@@ -169,7 +209,9 @@ def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, d), x.dtype),
-            jax.ShapeDtypeStruct((L, 2, d), cache.dtype),
+            # int8-KV: the kernel emits FULL-precision rows (the caller
+            # quantizes + scatters); plain: rows in the cache dtype
+            jax.ShapeDtypeStruct((L, 2, d), x.dtype if kvq else cache.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),           # hln
@@ -189,12 +231,13 @@ def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4):
 def _kernel_noscale(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
                     xout_ref, kv_ref, hln, qkv, att, mlp, xacc, acc, **kw):
     _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
-                 kv_ref, hln, qkv, att, mlp, xacc, acc, scale_row=None, **kw)
+                 kv_ref, hln, qkv, att, mlp, xacc, acc, scale_row=None,
+                 kvs_ref=None, **kw)
 
 
 def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
                  xout_ref, kv_ref, hln, qkv, att, mlp, xacc, acc, *,
-                 scale_row, L, S, R, H, hd, eps, scale):
+                 scale_row, kvs_ref, L, S, R, H, hd, eps, scale):
     l = pl.program_id(0)
     s = pl.program_id(1)
     pos = pos_ref[0, 0]
@@ -239,8 +282,8 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
 
     @pl.when(s == 3)
     def _():
-        kv_ref[0, 0:1] = qkv[1:2].astype(cdt)
-        kv_ref[0, 1:2] = qkv[2:3].astype(cdt)
+        kv_ref[0, 0:1] = qkv[1:2].astype(kv_ref.dtype)
+        kv_ref[0, 1:2] = qkv[2:3].astype(kv_ref.dtype)
         W = cache_ref.shape[3]
         col = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
         seen = col < pos                               # strictly-before rows
@@ -249,10 +292,22 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
             qh = qkv[0:1, sl]
             kh = qkv[1:2, sl]
             vh = qkv[2:3, sl]
-            kch = cache_ref[0, 0, h]                   # (W, hd)
-            vch = cache_ref[0, 1, h]
+            if kvs_ref is not None:
+                # int8 rows x (W, 1) f32 scales: dequant fuses into the
+                # dot's operand read (row-scale the (W, hd) block; a
+                # (W, 1)->(1, W) transpose of the scale is an unsupported
+                # Mosaic shape cast).  f32 dots: the int8 path trades MXU
+                # rate for HBM bytes, and W x hd per head is tiny.
+                kch = cache_ref[0, 0, h].astype(jnp.float32) \
+                    * kvs_ref[0, 0, h]
+                vch = cache_ref[0, 1, h].astype(jnp.float32) \
+                    * kvs_ref[0, 1, h]
+            else:
+                kch = cache_ref[0, 0, h]               # (W, hd)
+                vch = cache_ref[0, 1, h]
             sc = jax.lax.dot_general(
-                qh.astype(cdt), kch, (((1,), (1,)), ((), ())),
+                qh if kvs_ref is not None else qh.astype(cdt), kch,
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale
             sc = jnp.where(seen, sc, _NEG)
             s_self = jnp.sum(qh * kh, -1, keepdims=True) * scale
@@ -261,7 +316,8 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
             ps = jnp.exp(s_self - m)
             denom = jnp.sum(pc, -1, keepdims=True) + ps
             ctx = jax.lax.dot_general(
-                pc.astype(cdt), vch, (((1,), (0,)), ((), ())),
+                pc if kvs_ref is not None else pc.astype(cdt), vch,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             att[0:1, sl] = (ctx + ps * vh) / denom
         xacc[...] = xacc[...] + gemv(att[...]) + bias(4)

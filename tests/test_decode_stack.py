@@ -83,6 +83,87 @@ def test_megakernel_int8_matches_xla_int8():
     assert int(np.argmax(lp32)) == int(np.argmax(lx32))
 
 
+def test_megakernel_int8_kv_cache_matches_xla():
+    """int8 KV cache THROUGH the megakernel (VERDICT r4 next #3): the
+    kernel dequantizes cache rows in its score/context dots; the caller
+    quantizes the emitted rows with the same formula the fallback uses.
+    Logits within quantization tolerance (the kernel attends the new
+    token's own row at full precision where the fallback attends its
+    quantized image -- a bounded one-term difference); cache rows within
+    one quantization unit, scales tight."""
+    model = _build(seed=3)
+    model.quantize_kv()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params, "megakernel did not pack"
+
+    W = model.cfg.n_positions
+    prompt = np.array([3, 7, 11], np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, lg0 = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    cx, cp = cache, cache
+    tok = jnp.int32(int(np.argmax(np.asarray(lg0))))
+    for pos in range(len(prompt), len(prompt) + 6):
+        cx, lx = fx.step(cx, jnp.int32(pos), tok)
+        cp, lp = fp.step(cp, jnp.int32(pos), tok)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   rtol=5e-3, atol=5e-3)
+        qx, sx = (np.asarray(a) for a in cx)
+        qp, sp = (np.asarray(a) for a in cp)
+        assert np.max(np.abs(qx.astype(np.int32)
+                             - qp.astype(np.int32))) <= 1
+        # the full-precision-self-row difference perturbs the residual
+        # stream entering LATER layers by ~one int8 quantization unit, so
+        # their k/v rows (and row scales) drift at the same order -- a
+        # bounded per-step effect, not an accumulating divergence (the
+        # logits assertion above caps it end to end)
+        np.testing.assert_allclose(sp, sx, rtol=1e-2, atol=1e-6)
+        tok = jnp.int32(int(np.argmax(np.asarray(lx))))
+
+
+def test_megakernel_int8_weights_and_int8_kv_compose():
+    """quantize_serving + quantize_kv together (the long-context serving
+    flagship): both scale paths thread through one kernel."""
+    import lightgrad_tpu as light
+
+    model = _build(seed=4)
+    light.amp.cast_module(model, jnp.bfloat16)
+    model.quantize_serving()
+    model.quantize_kv()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#scales" in fp.step.params
+    assert "stack#slabs" in fp.step.params
+
+    cache = fx.init_cache()
+    cx, lx = fx.step(cache, jnp.int32(0), jnp.int32(4))
+    cp, lp = fp.step(cache, jnp.int32(0), jnp.int32(4))
+    lx32, lp32 = np.asarray(lx, np.float32), np.asarray(lp, np.float32)
+    np.testing.assert_allclose(lp32, lx32, rtol=5e-2, atol=5e-2)
+    assert int(np.argmax(lp32)) == int(np.argmax(lx32))
+
+
+def test_megakernel_int8_kv_generation_runs():
+    """generate_device end to end with the quantized cache through the
+    megakernel (the scan carries the (int8, scales) pytree)."""
+    model = _build(seed=8)
+    model.quantize_kv()
+    prev = runtime.set_kernel_mode("pallas")
+    try:
+        for a in ("_kv_fns", "_dev_gen"):
+            if hasattr(model, a):
+                delattr(model, a)
+        out = model.generate_device([3, 1, 4], max_new_tokens=5)
+    finally:
+        runtime.set_kernel_mode(prev)
+        for a in ("_kv_fns", "_dev_gen"):
+            if hasattr(model, a):
+                delattr(model, a)
+    assert len(out) == 8
+    assert all(0 <= t < 64 for t in out)
+
+
 def test_megakernel_inside_scan_generation():
     """The whole generate_device loop over the megernel step: runs and
     matches the XLA-path generation logits at the first step (the scan
