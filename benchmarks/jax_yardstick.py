@@ -59,7 +59,10 @@ class FlaxBertLayer(fnn.Module):
         return x + fnn.Dense(self.hidden, dtype=x.dtype)(h)
 
 
-def bench_bert_layer(batch=8, seq=512, iters=10):
+def bench_bert_layer(batch=8, seq=512, i_short=4, i_long=24):
+    """Marginal per-iteration time by two-length differencing: the tunnel's
+    per-dispatch cost (25-770 ms swings observed in degraded windows, the
+    same order as a ~20 ms region) cancels between the two chain lengths."""
     layer = FlaxBertLayer()
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (batch, seq, 768)), jnp.bfloat16)
@@ -71,22 +74,27 @@ def bench_bert_layer(batch=8, seq=512, iters=10):
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    @jax.jit
-    def prog(p, x):
-        acc = jnp.zeros((), jnp.float32)
-        for i in range(iters):
-            v, g = grad_fn(p, x + jnp.asarray(i, x.dtype) * 1e-6)
-            acc += v + jax.tree_util.tree_reduce(
-                lambda a, b: a + b.astype(jnp.float32).mean(), g,
-                jnp.zeros((), jnp.float32))
-        return acc
+    def make(iters):
+        @jax.jit
+        def prog(p, x):
+            acc = jnp.zeros((), jnp.float32)
+            for i in range(iters):
+                v, g = grad_fn(p, x + jnp.asarray(i, x.dtype) * 1e-6)
+                acc += v + jax.tree_util.tree_reduce(
+                    lambda a, b: a + b.astype(jnp.float32).mean(), g,
+                    jnp.zeros((), jnp.float32))
+            return acc
+        return prog
 
-    dt, vals = time_median(lambda: prog(params, x))
+    f_s, f_l = make(i_short), make(i_long)
+    s_s, vals_s = time_median(lambda: f_s(params, x))
+    s_l, vals_l = time_median(lambda: f_l(params, x))
+    dt = (s_l - s_s) / (i_long - i_short)
     h, inter = 768, 3072
     per_tok = 8 * h * h + 4 * h * inter
     attn = 4 * seq * h
     flops = 3 * batch * seq * (per_tok + attn)  # fwd+bwd = 3x fwd
-    return dt / iters, vals, flops / (dt / iters)
+    return dt, [vals_s, vals_l], flops / dt
 
 
 # --------------------------------------------------------------------------
@@ -127,7 +135,7 @@ class FlaxGPT(fnn.Module):
         return fnn.Dense(self.vocab, use_bias=False, dtype=jnp.bfloat16)(x)
 
 
-def bench_gpt_step(batch=8, seq=512, iters=5):
+def bench_gpt_step(batch=8, seq=512):
     model = FlaxGPT(seq=seq)
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, 50304, (batch, seq)), jnp.int32)
@@ -143,21 +151,24 @@ def bench_gpt_step(batch=8, seq=512, iters=5):
         return optax.softmax_cross_entropy_with_integer_labels(
             logits, tgt).mean()
 
-    @jax.jit
-    def step(p, s, ids, tgt):
-        for i in range(iters):
-            loss, g = jax.value_and_grad(loss_fn)(p, ids, tgt)
-            up, s = opt.update(g, s, p)
-            p = optax.apply_updates(p, up)
-        return p, s, loss
+    def make(iters):
+        @jax.jit
+        def step(p, s, ids, tgt):
+            for i in range(iters):
+                loss, g = jax.value_and_grad(loss_fn)(p, ids, tgt)
+                up, s = opt.update(g, s, p)
+                p = optax.apply_updates(p, up)
+            return p, s, loss
+        return step
 
-    def run():
-        nonlocal params, opt_state
-        params, opt_state, loss = step(params, opt_state, ids, tgt)
-        return loss
-
-    dt, vals = time_median(run)
-    dt /= iters
+    # two-length differencing (see bench_bert_layer): params/opt state are
+    # NOT threaded between timed calls so both lengths start from the same
+    # state (the step count differs between programs)
+    f_s, f_l = make(2), make(8)
+    s_s, vals_s = time_median(lambda: f_s(params, opt_state, ids, tgt)[2])
+    s_l, vals_l = time_median(lambda: f_l(params, opt_state, ids, tgt)[2])
+    dt = (s_l - s_s) / (8 - 2)
+    vals = [vals_s, vals_l]
     toks = batch * seq
     flops = 6 * n_params * toks
     return dt, vals, toks / dt, flops / dt, n_params
