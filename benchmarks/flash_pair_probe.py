@@ -102,30 +102,32 @@ def time_median(run, repeats=5):
     return ts[len(ts) // 2]
 
 
-def time_differenced(make_chain, arg, c_short=4, c_long=40, repeats=9):
-    """Marginal per-call seconds by two-length MIN-differencing.
+def time_differenced(make_chain, arg, c_short=4, c_long=60, repeats=9):
+    """Marginal per-call seconds by INTERLEAVED two-length differencing.
 
     The tunnel's per-dispatch cost swings 25-770 ms call to call in degraded
-    windows -- larger than a whole region, so MEDIAN differencing can go
-    negative.  The distribution's floor is stable though: taking the MIN of
-    ``repeats`` regions per length lands both at floor-RTT + compute, and
-    the difference isolates compute.  c_long is sized so the compute
-    difference (~36 calls x ~2.6 ms) clears residual floor jitter."""
+    windows -- larger than a whole region, so differencing region MEDIANS
+    (or even minima) taken minutes apart goes negative when the floor
+    drifts between the two measurement windows (both observed on
+    2026-08-20).  Instead each repeat times the short and the long chain
+    BACK TO BACK -- the adjacent dispatches see ~the same tunnel state, so
+    their difference isolates compute -- and the median over per-pair
+    differences rejects the pairs a swing did split."""
     f_s, f_l = make_chain(c_short), make_chain(c_long)
 
-    def tmin(run):
-        run()
-        ts = []
-        for _ in range(repeats):
-            t0 = time.time()
-            out = run()
-            np.asarray(out)[0]
-            ts.append(time.time() - t0)
-        return min(ts)
+    def once(f):
+        t0 = time.time()
+        np.asarray(f(arg))[0]
+        return time.time() - t0
 
-    s_s = tmin(lambda: f_s(arg))
-    s_l = tmin(lambda: f_l(arg))
-    return (s_l - s_s) / (c_long - c_short)
+    once(f_s), once(f_l)  # compile both before any timed pair
+    diffs = []
+    for _ in range(repeats):
+        s = once(f_s)
+        l = once(f_l)
+        diffs.append(l - s)
+    diffs.sort()
+    return diffs[len(diffs) // 2] / (c_long - c_short)
 
 
 def main(bh=96, s=2048, d=64, chain=4):

@@ -148,6 +148,80 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *rest,
                           ).astype(lse_ref.dtype)
 
 
+def _fwd_kernel_pair(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                     acc_ref, *, scale, nk, bk, bq, s, causal, window=0):
+    """Two heads per grid step (the d=64 ILP lever, VERDICT r3 #5 probe):
+    the two heads' score/softmax/context chains are unrolled back to back
+    in one kernel body, so Mosaic overlaps head A's VPU softmax (`exp` is
+    the bottleneck when the score GEMM contracts over only d=64 -- half
+    the MXU's rows) with head B's MXU dots, and the pipeline fetches half
+    as many, twice-larger blocks.  Measured 2.05x over the one-head kernel
+    at 96x2048x64 bf16 fwd (benchmarks/flash_pair_probe.py, 2026-08-20,
+    interleaved pair-differenced).  Same math: parity-tested in
+    tests/test_pallas.py."""
+    qb, kb = pl.program_id(1), pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def _compute():
+        need_mask = (s % bk != 0) or causal or window
+        valid = (_valid_mask((bq, bk), qb * bq, kb * bk, s, causal, window)
+                 if need_mask else None)
+        for t in (0, 1):  # head-interleaved chains (the whole point)
+            scores = _dot(q_ref[t], k_ref[t], tb=True) * scale  # (bq, bk)
+            if need_mask:
+                scores = jnp.where(valid, scores, _NEG_INF)
+            m_prev = m_ref[t]
+            m_new = jnp.maximum(m_prev,
+                                jnp.max(scores, axis=-1, keepdims=True))
+            p = jnp.exp(scores - m_new)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[t] = l_ref[t] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            v_blk = v_ref[t]
+            if s % bk != 0:
+                v_blk = _zero_oob_rows(v_blk, kb * bk, s)
+            acc_ref[t] = acc_ref[t] * alpha + _dot(p.astype(v_blk.dtype),
+                                                   v_blk)
+            m_ref[t] = m_new
+
+    if causal or window:
+        pl.when(_pair_relevant(qb, bq, kb, bk, causal, window))(_compute)
+    else:
+        _compute()
+
+    @pl.when(kb == nk - 1)
+    def _():
+        o_ref[...] = (acc_ref[...] / l_ref[...]).astype(o_ref.dtype)
+        lse_ref[...] = (m_ref[...] + jnp.log(l_ref[...])
+                        ).astype(lse_ref.dtype)
+
+
+# head-pair forward on/off (eligible cases only: MHA, NON-CAUSAL, no
+# per-example lengths, even head count, d <= 64 -- at d=128 the score GEMM
+# already fills the MXU contraction and the one-head kernel measured 38.5%
+# MFU).  Hardware A/B (benchmarks/flash_pair_ab.py, 2026-08-21, interleaved
+# per-pair differencing -- the only protocol that survived that day's
+# 25-770 ms RTT swings): pair wins non-causal (0.884x time), loses causal
+# (1.076x) where block-skip halves the work per grid step and the pair
+# kernel's larger blocks waste more skipped-block bandwidth.  Hence causal
+# stays on the one-head kernel.
+_PAIR_FWD = True
+
+
+def set_flash_pair(on):
+    """True: pair the non-causal eligible cases (measured default).
+    "all": pair causal/window too (A/B + test hook).  False: off."""
+    global _PAIR_FWD
+    prev = _PAIR_FWD
+    _PAIR_FWD = on
+    _build.cache_clear()
+    return prev
+
+
 # causal block-skip in the two-pass backward kernels (the forward always
 # skips).  A/B hook: benchmarks/flash_tune.py --causal compares in-session.
 _BWD_SKIP = True
@@ -215,6 +289,37 @@ def _flash_fwd(q, k, v, scale, causal, vma=None, lengths=None, window=0):
            else (lambda h, i, j: (h, j, 0)))
     sds = functools.partial(jax.ShapeDtypeStruct, **({} if vma is None else {"vma": vma}))
     have_lens = lengths is not None
+    if (_PAIR_FWD and groups == 1 and not have_lens and b % 2 == 0
+            and d <= 64 and vma is None
+            and (_PAIR_FWD == "all" or (not causal and not window))):
+        # two heads per grid step: a (2, bq, d) block over the SAME layout
+        # serves head pair (2h, 2h+1) -- no reshape, no copy
+        pair_row = lambda h, i, j: (h, i, 0)
+        pair_col = lambda h, i, j: (h, j, 0)
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel_pair, scale=scale, nk=nk, bk=bk,
+                              bq=bq, s=s, causal=causal, window=window),
+            grid=(b // 2, nq, nk),
+            in_specs=[
+                pl.BlockSpec((2, bq, d), pair_row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bk, d), pair_col, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bk, d), pair_col, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((2, bq, d), pair_row, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, bq, 1), pair_row, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                sds((b, s, d), q.dtype),
+                sds((b, s, 1), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, bq, 1), jnp.float32),
+                pltpu.VMEM((2, bq, 1), jnp.float32),
+                pltpu.VMEM((2, bq, d), jnp.float32),
+            ],
+            interpret=interpret(),
+        )(q, k, v)
     in_specs = [
         pl.BlockSpec((1, bq, d), row, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, bk, d), col, memory_space=pltpu.VMEM),
