@@ -365,8 +365,20 @@ class GPT(nn.Module):
         from lightgrad_tpu.ops.runtime import kernel_mode as _kmode
         if (_kmode() != "xla" and cfg.n_experts == 0
                 and hd % 8 == 0 and cfg.n_embd % 128 == 0):
-            from lightgrad_tpu.ops.decode_stack import pack_gpt_stack
-            p.update(pack_gpt_stack(p, L, cfg.n_embd))
+            from lightgrad_tpu.ops.decode_stack import (pack_gpt_stack,
+                                                        stack_fits)
+            _int8w = "h.0.attn.c_attn.weight#q" in p
+            _wdt = jnp.int8 if _int8w else p["h.0.attn.c_attn.weight"].dtype
+            # VMEM fit gate: the kernel chunks the cache window, but an
+            # unchunkable config (W not divisible into 128-row chunks, or
+            # a working set that exceeds VMEM even at the finest chunking)
+            # must fall back to the unrolled path instead of failing in
+            # the Mosaic compile (measured r5: W=2048 bf16 OOMed at 26 MB
+            # vs the 16 MB scoped limit before chunking existed)
+            if stack_fits(W=W, d=cfg.n_embd, H=H, hd=hd, R=4,
+                          cache_dt=jnp.int8 if kv_quant else cdt,
+                          w_dt=_wdt, int8=_int8w, kvq=kv_quant):
+                p.update(pack_gpt_stack(p, L, cfg.n_embd))
 
         def _write_and_attend(cache, l, q, k, v, pos):
             """Write layer ``l``'s new K/V row(s) at ``pos`` and attend.
@@ -539,6 +551,38 @@ class GPT(nn.Module):
             K = toks.shape[0]
             rows = pos0 + jnp.arange(K, dtype=jnp.int32)
             x = p["wte.weight"][toks] + p["wpe.weight"][rows]    # (K, d)
+            if "stack#slabs" in p and K <= 8:
+                # Megakernel extend: the K rows ride ONE weight-slab
+                # stream (grid (L, S)), with the kernel's (K, K) causal
+                # self-block covering the in-flight interactions.  The
+                # unrolled loop below pays the ~L x 9-thunk fixed floor
+                # that made speculative verify SLOWER than megakernel
+                # plain decode (measured 0.77x, r5); this path restores
+                # the one-weight-pass-per-round economics.  K <= 8 keeps
+                # the kernel's row scratch within the packed fit gate.
+                from lightgrad_tpu.ops.decode_stack import decode_stack
+                if kv_quant:
+                    cq, cs = cache
+                    x, kv = decode_stack(x, cq, pos0, p["stack#slabs"],
+                                         p["stack#vecs"],
+                                         p.get("stack#scales"), eps=eps,
+                                         kv_scales=cs)
+                    kvr = kv.reshape(L, 2, K, H, hd).transpose(0, 1, 3, 2, 4)
+                    kvq8, kvs = _q_rows(kvr)
+                    cq = jax.lax.dynamic_update_slice(
+                        cq, kvq8, (0, 0, 0, pos0, 0))
+                    cs = jax.lax.dynamic_update_slice(
+                        cs, kvs, (0, 0, 0, pos0, 0))
+                    cache = (cq, cs)
+                else:
+                    x, kv = decode_stack(x, cache, pos0, p["stack#slabs"],
+                                         p["stack#vecs"],
+                                         p.get("stack#scales"), eps=eps)
+                    kvr = kv.reshape(L, 2, K, H, hd).transpose(0, 1, 3, 2, 4)
+                    cache = jax.lax.dynamic_update_slice(
+                        cache, kvr, (0, 0, 0, pos0, 0))
+                x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+                return cache, head_mm(x, p)                      # (K, vocab)
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])

@@ -182,3 +182,235 @@ def test_megakernel_inside_scan_generation():
                 delattr(model, a)
     assert len(out) == 8
     assert all(0 <= t < 64 for t in out)
+
+
+def _forced_chunks(monkeypatch, budget):
+    from lightgrad_tpu.ops import decode_stack as ds
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", budget)
+    return ds
+
+
+def test_plan_chunks_picks_finer_chunking_under_budget():
+    from lightgrad_tpu.ops import decode_stack as ds
+    kw = dict(d=128, H=2, hd=64, NV=13, cache_dt=jnp.float32,
+              w_dt=jnp.float32, int8=False, kvq=False, R=4)
+    assert ds._plan_chunks(256, **kw) == 1
+    # squeeze the budget: the full-window block no longer fits, chunks do
+    c1 = ds._working_set_bytes(256, **kw)
+    c2 = ds._working_set_bytes(128, **kw)
+    assert c2 < c1
+    import lightgrad_tpu.ops.decode_stack as mod
+    old = mod._VMEM_BUDGET
+    try:
+        mod._VMEM_BUDGET = (c1 + c2) // 2
+        assert mod._plan_chunks(256, **kw) == 2
+        mod._VMEM_BUDGET = c2 // 4
+        # W=256 only divides into 128-lane chunks once -> no fit
+        assert mod._plan_chunks(256, **kw) is None
+    finally:
+        mod._VMEM_BUDGET = old
+
+
+def test_megakernel_chunked_window_matches_xla(monkeypatch):
+    """Force C=2 cache chunks (online-softmax recurrence + chunk-skip
+    index maps) and check parity against the unrolled step at positions
+    BELOW the chunk boundary (chunk 1 skipped entirely) and positions
+    crossing it (both chunks live)."""
+    from lightgrad_tpu.ops import decode_stack as ds
+    kw = dict(d=128, H=2, hd=64, NV=13, cache_dt=jnp.float32,
+              w_dt=jnp.float32, int8=False, kvq=False, R=4)
+    budget = (ds._working_set_bytes(256, **kw)
+              + ds._working_set_bytes(128, **kw)) // 2
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", budget)
+    assert ds._plan_chunks(256, **kw) == 2
+
+    model = _build(vocab=64, W=256, d=128, L=2, H=2, seed=11)
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params, "megakernel did not pack"
+
+    W = model.cfg.n_positions
+    rng = np.random.RandomState(0)
+    prompt = rng.randint(0, 64, size=126).astype(np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, lg0 = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    cx, cp = cache, cache
+    tok = jnp.int32(int(np.argmax(np.asarray(lg0))))
+    # pos 126..133: crosses the Wc=128 boundary mid-run
+    for pos in range(len(prompt), len(prompt) + 8):
+        cx, lx = fx.step(cx, jnp.int32(pos), tok)
+        cp, lp = fp.step(cp, jnp.int32(pos), tok)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(cp), np.asarray(cx),
+                                   rtol=5e-4, atol=5e-4)
+        tok = jnp.int32(int(np.argmax(np.asarray(lx))))
+
+
+def test_megakernel_chunked_int8_kv_matches_xla(monkeypatch):
+    """Chunked window COMPOSED with the int8 KV cache: lane-major scale
+    blocks, dequant on the score/probability rows, chunk skipping."""
+    from lightgrad_tpu.ops import decode_stack as ds
+    kw = dict(d=128, H=2, hd=64, NV=13, cache_dt=jnp.int8,
+              w_dt=jnp.float32, int8=False, kvq=True, R=4)
+    budget = (ds._working_set_bytes(256, **kw)
+              + ds._working_set_bytes(128, **kw)) // 2
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", budget)
+    assert ds._plan_chunks(256, **kw) == 2
+
+    model = _build(vocab=64, W=256, d=128, L=2, H=2, seed=12)
+    model.quantize_kv()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params
+
+    W = model.cfg.n_positions
+    rng = np.random.RandomState(1)
+    prompt = rng.randint(0, 64, size=126).astype(np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, lg0 = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    cx, cp = cache, cache
+    tok = jnp.int32(int(np.argmax(np.asarray(lg0))))
+    for pos in range(len(prompt), len(prompt) + 6):
+        cx, lx = fx.step(cx, jnp.int32(pos), tok)
+        cp, lp = fp.step(cp, jnp.int32(pos), tok)
+        np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                                   rtol=5e-3, atol=5e-3)
+        qx, _ = (np.asarray(a) for a in cx)
+        qp, _ = (np.asarray(a) for a in cp)
+        assert np.max(np.abs(qx.astype(np.int32)
+                             - qp.astype(np.int32))) <= 1
+        tok = jnp.int32(int(np.argmax(np.asarray(lx))))
+
+
+def test_megakernel_unfittable_window_falls_back(monkeypatch):
+    """When no chunking fits the budget, pack_gpt_stack is skipped and
+    the unrolled path serves the step (no compile-time VMEM error)."""
+    from lightgrad_tpu.ops import decode_stack as ds
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", 1)
+    model = _build(seed=13)
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" not in fp.step.params
+    cache = fp.init_cache()
+    _, lg = fp.step(cache, jnp.int32(0), jnp.int32(3))
+    assert np.asarray(lg).shape == (64,)
+
+
+def test_megakernel_extend_matches_sequential_steps():
+    """Multi-row megakernel (n=4 extend): logits and cache mutations match
+    the sequential single-token megakernel steps AND the unrolled XLA
+    extend (the in-kernel (n, n) causal self-block must reproduce the
+    write-then-attend semantics exactly)."""
+    model = _build(vocab=64, W=64, d=128, L=2, H=2, seed=21)
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params
+
+    W = model.cfg.n_positions
+    prompt = np.array([3, 7, 11, 2, 40], np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, _ = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    chunk = jnp.asarray(np.array([5, 9, 1, 44], np.int32))
+    pos0 = jnp.int32(len(prompt))
+
+    seq_cache, seq_rows = cache, []
+    for i in range(len(chunk)):
+        seq_cache, lg = fp.step(seq_cache, pos0 + i, chunk[i])
+        seq_rows.append(np.asarray(lg))
+    ext_cache, ext_rows = fp.extend(cache, pos0, chunk)
+    xla_cache, xla_rows = fx.extend(cache, pos0, chunk)
+
+    np.testing.assert_allclose(np.asarray(ext_rows), np.stack(seq_rows),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ext_cache), np.asarray(seq_cache),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ext_rows), np.asarray(xla_rows),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_megakernel_extend_chunked_window(monkeypatch):
+    """n=5 extend through a C=2-chunked window, rows straddling the chunk
+    boundary (pos0=126, Wc=128)."""
+    from lightgrad_tpu.ops import decode_stack as ds
+    kw = dict(d=128, H=2, hd=64, NV=13, cache_dt=jnp.float32,
+              w_dt=jnp.float32, int8=False, kvq=False, R=4, n=8)
+    budget = (ds._working_set_bytes(256, **kw)
+              + ds._working_set_bytes(128, **kw)) // 2
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", budget)
+    assert ds._plan_chunks(256, **kw) == 2
+
+    model = _build(vocab=64, W=256, d=128, L=2, H=2, seed=22)
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params
+
+    W = model.cfg.n_positions
+    rng = np.random.RandomState(5)
+    prompt = rng.randint(0, 64, size=126).astype(np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, _ = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    chunk = jnp.asarray(rng.randint(0, 64, size=5).astype(np.int32))
+    pos0 = jnp.int32(len(prompt))
+    ext_cache, ext_rows = fp.extend(cache, pos0, chunk)
+    xla_cache, xla_rows = fx.extend(cache, pos0, chunk)
+    np.testing.assert_allclose(np.asarray(ext_rows), np.asarray(xla_rows),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ext_cache), np.asarray(xla_cache),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_megakernel_extend_int8_kv():
+    """n=4 extend composed with the int8 KV cache: emitted rows quantize
+    to the same cache contents as the unrolled path (+/- 1 int8 unit from
+    the full-precision self-block)."""
+    model = _build(vocab=64, W=64, d=128, L=2, H=2, seed=23)
+    model.quantize_kv()
+    fx = _fns(model, "xla")
+    fp = _fns(model, "pallas")
+    assert "stack#slabs" in fp.step.params
+
+    W = model.cfg.n_positions
+    prompt = np.array([3, 7, 11], np.int32)
+    toks = jnp.asarray(np.pad(prompt, (0, W - len(prompt))))
+    cache, _ = fx.prefill(fx.init_cache(), toks, len(prompt))
+
+    chunk = jnp.asarray(np.array([5, 9, 1, 44], np.int32))
+    pos0 = jnp.int32(len(prompt))
+    ext_cache, ext_rows = fp.extend(cache, pos0, chunk)
+    xla_cache, xla_rows = fx.extend(cache, pos0, chunk)
+    np.testing.assert_allclose(np.asarray(ext_rows), np.asarray(xla_rows),
+                               rtol=5e-2, atol=5e-2)
+    qx, _ = (np.asarray(a) for a in xla_cache)
+    qp, _ = (np.asarray(a) for a in ext_cache)
+    assert np.max(np.abs(qx.astype(np.int32) - qp.astype(np.int32))) <= 1
+
+
+def test_speculative_device_through_megakernel():
+    """generate_speculative_device with BOTH models on the megakernel path
+    (pallas mode): greedy output identical to megakernel plain decode."""
+    target = _build(vocab=64, W=64, d=128, L=2, H=2, seed=24)
+    draft = _build(vocab=64, W=64, d=128, L=1, H=2, seed=25)
+    from lightgrad_tpu.models.decoding import generate_speculative_device
+
+    prev = runtime.set_kernel_mode("pallas")
+    try:
+        for m in (target, draft):
+            for a in ("_kv_fns", "_dev_gen", "_dev_spec"):
+                if hasattr(m, a):
+                    delattr(m, a)
+        ids = [3, 1, 4, 1, 5]
+        want = target.generate_device(ids, max_new_tokens=10)
+        got = generate_speculative_device(target, draft, ids,
+                                          max_new_tokens=10, k=3)
+        assert got == want, (got, want)
+        assert "stack#slabs" in target._kv_fns.step.params
+    finally:
+        runtime.set_kernel_mode(prev)
+        for m in (target, draft):
+            for a in ("_kv_fns", "_dev_gen", "_dev_spec"):
+                if hasattr(m, a):
+                    delattr(m, a)
