@@ -271,6 +271,7 @@ class GPT(nn.Module):
         import jax
         import jax.numpy as jnp
 
+        from lightgrad_tpu.ops.attention import attention_fwd as kattn_fwd
         from lightgrad_tpu.ops.decode_attention import (
             decode_attention as kdecode_attn)
 
@@ -505,7 +506,6 @@ class GPT(nn.Module):
             ``n_real`` hold garbage K/V but are unreachable: decode steps
             overwrite row ``pos`` before the ``<= pos`` mask exposes it."""
             x = p["wte.weight"][toks] + p["wpe.weight"][jnp.arange(W)]
-            causal = jnp.tril(jnp.ones((W, W), bool))[None]      # (1, W, W)
             for l in range(L):
                 pre = f"h.{l}."
                 h = ln(x, p[pre + "ln_1.weight"], p[pre + "ln_1.bias"])
@@ -524,9 +524,12 @@ class GPT(nn.Module):
                     cache = (cq.at[l].set(kvq), cs.at[l].set(kvs))
                 else:
                     cache = cache.at[l, 0].set(k).at[l, 1].set(v)
-                scores = jnp.einsum("hqd,hkd->hqk", q, k) * scale
-                scores = jnp.where(causal, scores, -1e30)
-                att = jax.nn.softmax(scores, axis=-1) @ v        # (H, W, hd)
+                # flash-attention prefill: the materializing einsum path
+                # costs O(W^2) HBM per layer (H x W^2 scores = 100 MB/layer
+                # at W=2048 bf16); attention_fwd streams it through VMEM
+                # blocks (and resolves to the plain XLA softmax at small W
+                # via the measured routing table)
+                att = kattn_fwd(q, k, v, scale, causal=True)     # (H, W, hd)
                 att = att.transpose(1, 0, 2).reshape(W, H * hd)
                 x = x + mm(att, p, pre + "attn.c_proj.weight") \
                     + p[pre + "attn.c_proj.bias"]
