@@ -316,6 +316,7 @@ class Llama(nn.Module):
         import jax
         import jax.numpy as jnp
 
+        from lightgrad_tpu.ops.attention import attention_fwd as kattn_fwd
         from lightgrad_tpu.ops.decode_attention import (
             decode_attention as kdecode_attn)
 
@@ -540,11 +541,6 @@ class Llama(nn.Module):
             x = p["embed_tokens.weight"][toks]                   # (W, d)
             if emb_scale is not None:
                 x = x * jnp.asarray(emb_scale, x.dtype)
-            ar = jnp.arange(W)
-            mask = ar[None, :] <= ar[:, None]                    # causal
-            if swin:
-                mask = jnp.logical_and(mask, ar[None, :] > ar[:, None] - swin)
-            mask = mask[None]                                    # (1, W, W)
             for l in range(L):
                 pre = f"layers.{l}."
                 h = rms(x, p[pre + "input_layernorm.weight"])
@@ -566,13 +562,13 @@ class Llama(nn.Module):
                     cache = (cq.at[l].set(kvq), cs.at[l].set(kvs))
                 else:
                     cache = cache.at[l, 0].set(k).at[l, 1].set(v)
-                # grouped-query form (free g dim on the lhs): no repeated K/V
-                q4 = q.reshape(KV, rep, W, hd)
-                scores = jnp.einsum("kgqd,ksd->kgqs", q4, k) * scale
-                scores = jnp.where(mask[None], scores, -1e30)
-                att = jnp.einsum("kgqs,ksd->kgqd",
-                                 jax.nn.softmax(scores, axis=-1), v)
-                att = att.transpose(2, 0, 1, 3).reshape(W, H * hd)
+                # flash-attention prefill (GQA served via the kernel's
+                # index maps: q heads are kv-major, head h reads KV head
+                # h // rep -- no repeated K/V, no H x W^2 score tensor in
+                # HBM; causal + sliding-window banding inside the kernel)
+                att = kattn_fwd(q, k, v, scale, causal=True,
+                                window=swin or 0)                # (H, W, hd)
+                att = att.transpose(1, 0, 2).reshape(W, H * hd)
                 x = x + mm(att, p, pre + "self_attn.o_proj.weight")
                 h2 = rms(x, p[pre + "post_attention_layernorm.weight"])
                 g = mm(h2, p, pre + "mlp.gate_proj.weight")
