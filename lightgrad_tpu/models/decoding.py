@@ -58,11 +58,17 @@ class KVFns:
     weight-read-bound, so scoring k+1 proposals must cost ~one step's HBM
     traffic, not k+1 sequential steps' (see _build_device_spec)."""
 
-    def __init__(self, init_cache, prefill, step, extend=None):
+    def __init__(self, init_cache, prefill, step, extend=None,
+                 step_batch=None):
         self.init_cache = init_cache
         self.prefill = prefill
         self.step = step
         self.extend = extend
+        # optional native batched step: ``step_batch(p, caches (B, ...),
+        # poss (B,), toks (B,)) -> (caches, logits (B, vocab))`` -- B slots
+        # advanced with ONE weight stream (the vmap-of-step lift re-streams
+        # weights per slot); callers prefer it over vmap(step.fn)
+        self.step_batch = step_batch
 
     def __iter__(self):
         return iter((self.init_cache, self.prefill, self.step))
@@ -151,6 +157,52 @@ def _build_device_gen(model, max_new_tokens: int, temperature: float,
     return run
 
 
+def _build_device_gen_batch(model, max_new_tokens: int, temperature: float,
+                            top_k: int, top_p: float, eos_id):
+    """Batched twin of ``_build_device_gen`` over the model's native
+    ``step_batch``: the decode scan advances ALL B slots through ONE
+    weight stream per step (``vmap`` of the single-slot run re-streams
+    the weights per slot -- decode is weight-read-bound, so that lift
+    left batch-8 barely above single-stream throughput).  Prefill stays
+    the vmapped per-slot pass (it is MXU-batched already)."""
+    import jax
+    import jax.numpy as jnp
+
+    init_cache, prefill, step = model._kv_fns
+    sb = model._kv_fns.step_batch
+    eos = jnp.int32(-1 if eos_id is None else eos_id)
+
+    def sample_rows(logits, keys):
+        splits = jax.vmap(jax.random.split)(keys)
+        keys2, subs = splits[:, 0], splits[:, 1]
+        nxt = jax.vmap(
+            lambda lg, k: _device_sample(lg, k, temperature, top_k, top_p))(
+            logits, subs)
+        return nxt.astype(jnp.int32), keys2
+
+    def run(p, caches, toks, n_real, keys):
+        caches, logits = jax.vmap(prefill.fn, in_axes=(None, 0, 0, 0))(
+            p, caches, toks, n_real)
+        first, keys = sample_rows(logits, keys)
+
+        def body(carry, _):
+            caches, poss, tok, keys, done = carry
+            caches, logits = sb.fn(p, caches, poss, tok)
+            nxt, keys = sample_rows(logits, keys)
+            nxt = jnp.where(done, eos, nxt)
+            done = done | (nxt == eos)
+            return (caches, poss + 1, nxt, keys, done), nxt
+
+        done0 = (first == eos) if eos_id is not None \
+            else jnp.zeros(first.shape, bool)
+        carry0 = (caches, n_real.astype(jnp.int32), first, keys, done0)
+        _, rest = jax.lax.scan(body, carry0, None,
+                               length=max_new_tokens - 1)
+        return jnp.concatenate([first[:, None], rest.T], axis=1)  # (B, T)
+
+    return run
+
+
 def _trim_eos(seq, eos_id):
     out = []
     for t in seq:
@@ -228,10 +280,16 @@ def generate_batch_device(model, prompts, max_new_tokens: int,
     sig = ("dev_gen_batch", max_new_tokens, temperature, top_k, top_p, eos_id)
     cached = getattr(model, "_dev_gen_batch", None)
     if cached is None or cached[0] != sig:
-        run = _build_device_gen(model, max_new_tokens, temperature, top_k,
-                                top_p, eos_id)
-        model._dev_gen_batch = (sig, jax.jit(
-            jax.vmap(run, in_axes=(None, 0, 0, 0, 0))))
+        if getattr(model._kv_fns, "step_batch", None) is not None:
+            runb = _build_device_gen_batch(model, max_new_tokens,
+                                           temperature, top_k, top_p,
+                                           eos_id)
+            model._dev_gen_batch = (sig, jax.jit(runb))
+        else:
+            run = _build_device_gen(model, max_new_tokens, temperature,
+                                    top_k, top_p, eos_id)
+            model._dev_gen_batch = (sig, jax.jit(
+                jax.vmap(run, in_axes=(None, 0, 0, 0, 0))))
     _, brun = model._dev_gen_batch
     toks = np.zeros((B, W), np.int32)
     for i, pr in enumerate(prompts):
@@ -331,10 +389,14 @@ def generate_batch(model, prompts, max_new_tokens: int,
     init_cache, prefill, step = model._kv_fns
     if not hasattr(model, "_kv_batch_fns"):
         # params broadcast (in_axes=None) -- ONE copy in the program, passed
-        # at call time; caches/positions/tokens map over the leading axis
+        # at call time; caches/positions/tokens map over the leading axis.
+        # Steps prefer the model's native batched program (one weight
+        # stream for all B rows) over the vmap lift when it exists.
+        sb = getattr(model._kv_fns, "step_batch", None)
         model._kv_batch_fns = (
             jax.jit(jax.vmap(prefill.fn, in_axes=(None, 0, 0, 0))),
-            jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0))))
+            jax.jit(sb.fn) if sb is not None
+            else jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0))))
     bprefill, bstep = model._kv_batch_fns
 
     toks = np.zeros((B, W), np.int32)

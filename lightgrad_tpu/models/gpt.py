@@ -541,6 +541,58 @@ class GPT(nn.Module):
             x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
             return cache, head_mm(x[n_real - 1][None], p)[0]
 
+        def step_batch(p, caches, poss, toks):
+            """B independent decode slots in ONE program dispatch AND one
+            weight stream (ops/decode_stack.decode_stack_batch): the
+            ``vmap(step)`` lift re-streams all weights per slot -- decode
+            is weight-read-bound, so batch-8 aggregate was barely above
+            single-stream (measured r4/r5).  caches: (B, L, 2, H, W, hd)
+            (or the (rows, scales) pair under quantize_kv); poss: (B,)
+            int32; toks: (B,).  Returns (caches, logits (B, vocab)).
+            Falls back to the vmapped unrolled step when the megakernel is
+            not packed or the batched working set cannot fit VMEM."""
+            B = toks.shape[0]
+            from lightgrad_tpu.ops.decode_stack import (decode_stack_batch,
+                                                        stack_fits)
+            fits = "stack#slabs" in p and stack_fits(
+                W=W, d=cfg.n_embd, H=H, hd=hd, R=4,
+                cache_dt=jnp.int8 if kv_quant else cdt,
+                w_dt=p["stack#slabs"].dtype if "stack#slabs" in p else cdt,
+                int8="stack#scales" in p, kvq=kv_quant, n=B, batch=B)
+            if not fits:
+                return jax.vmap(step, in_axes=(None, 0, 0, 0))(
+                    p, caches, poss, toks)
+            x = p["wte.weight"][toks] + p["wpe.weight"][poss]    # (B, d)
+            if kv_quant:
+                cq, cs = caches
+                x, kv = decode_stack_batch(x, cq, poss, p["stack#slabs"],
+                                           p["stack#vecs"],
+                                           p.get("stack#scales"), eps=eps,
+                                           kv_scales=cs)
+                # (L, 2, B, d) -> per-slot (B, L, 2, H, 1, hd) rows
+                kvr = kv.reshape(L, 2, B, H, hd) \
+                    .transpose(2, 0, 1, 3, 4)[:, :, :, :, None, :]
+                kvq8, kvs = _q_rows(kvr)
+                cq = jax.vmap(
+                    lambda c, k, q: jax.lax.dynamic_update_slice(
+                        c, k, (0, 0, 0, q, 0)))(cq, kvq8, poss)
+                cs = jax.vmap(
+                    lambda c, k, q: jax.lax.dynamic_update_slice(
+                        c, k, (0, 0, 0, q, 0)))(cs, kvs, poss)
+                caches = (cq, cs)
+            else:
+                x, kv = decode_stack_batch(x, caches, poss,
+                                           p["stack#slabs"],
+                                           p["stack#vecs"],
+                                           p.get("stack#scales"), eps=eps)
+                kvr = kv.reshape(L, 2, B, H, hd) \
+                    .transpose(2, 0, 1, 3, 4)[:, :, :, :, None, :]
+                caches = jax.vmap(
+                    lambda c, k, q: jax.lax.dynamic_update_slice(
+                        c, k, (0, 0, 0, q, 0)))(caches, kvr, poss)
+            x = ln(x, p["ln_f.weight"], p["ln_f.bias"])
+            return caches, head_mm(x, p)                         # (B, vocab)
+
         def extend(p, cache, pos0, toks):
             """Parallel multi-token decode: score ``toks`` (K rows, K static)
             at positions ``pos0..pos0+K-1`` in ONE batched pass -- the
@@ -609,7 +661,7 @@ class GPT(nn.Module):
         from .decoding import KVFns, ParamFn
 
         return KVFns(init_cache, ParamFn(prefill, p), ParamFn(step, p),
-                     ParamFn(extend, p))
+                     ParamFn(extend, p), ParamFn(step_batch, p))
 
     def _generate_kv(self, ids, max_new_tokens, temperature, rng,
                      top_k: int = 0, top_p: float = 0.0,

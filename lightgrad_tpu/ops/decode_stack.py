@@ -84,7 +84,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .runtime import interpret
 
-__all__ = ["pack_gpt_stack", "decode_stack", "stack_fits"]
+__all__ = ["pack_gpt_stack", "decode_stack", "decode_stack_batch",
+           "stack_fits"]
 
 _NEG = -1e30
 # Scoped-VMEM target for the kernel's double-buffered working set.  The
@@ -104,13 +105,15 @@ def _sublane(dtype):
 
 
 def _working_set_bytes(Wc, *, d, H, hd, NV, cache_dt, w_dt, int8, kvq, R,
-                       n=1):
+                       n=1, batch=1):
     """Padded VMEM bytes of the kernel's streamed blocks (x2 for Pallas
-    double buffering) plus resident scratch, for one cache chunk of Wc."""
+    double buffering) plus resident scratch, for one cache chunk of Wc.
+    ``batch`` > 1: the batched kernel keeps every slot's chunk resident."""
     isz = jnp.dtype(cache_dt).itemsize
     wsz = jnp.dtype(w_dt).itemsize
-    cache_b = 2 * H * _pad(Wc, _sublane(cache_dt)) * _pad(hd, 128) * isz
-    kvs_b = 2 * _pad(H, 8) * _pad(Wc, 128) * 4 if kvq else 0
+    cache_b = batch * 2 * H * _pad(Wc, _sublane(cache_dt)) \
+        * _pad(hd, 128) * isz
+    kvs_b = batch * 2 * _pad(H, 8) * _pad(Wc, 128) * 4 if kvq else 0
     slab_b = _pad(d, _sublane(w_dt)) * _pad(d, 128) * wsz
     wscale_b = 8 * _pad(d, 128) * 4 if int8 else 0
     vec_b = _pad(NV, _sublane(w_dt)) * _pad(d, 128) * wsz
@@ -123,12 +126,15 @@ def _working_set_bytes(Wc, *, d, H, hd, NV, cache_dt, w_dt, int8, kvq, R,
 def _plan_chunks(W, **kw):
     """Smallest power-of-two chunk count C whose working set fits.
     Returns C or None (no fit -> caller must use the fallback path).
-    C > 1 requires (W/C) % 128 == 0: the chunked scale block's lane dim
-    is Wc, and a non-full lane dim must be a multiple of 128."""
+    C > 1 requires (W/C) % 128 == 0 when the int8-KV scale operand rides
+    along (its chunked block's lane dim is Wc, and a non-full lane dim
+    must be a multiple of 128); otherwise (W/C) % 8 == 0 (cache block
+    sublane rule)."""
+    align = 128 if kw.get("kvq") else 8
     C = 1
     while C <= W:
         Wc = W // C
-        if W % C == 0 and (C == 1 or Wc % 128 == 0):
+        if W % C == 0 and (C == 1 or Wc % align == 0):
             if _working_set_bytes(Wc, **kw) <= _VMEM_BUDGET:
                 return C
         C *= 2
@@ -136,15 +142,17 @@ def _plan_chunks(W, **kw):
 
 
 def stack_fits(*, W, d, H, hd, R, cache_dt, w_dt, int8=False, kvq=False,
-               n=8):
+               n=8, batch=1):
     """True if some chunking of the (2, H, W, hd) cache fits VMEM -- the
     model wiring consults this BEFORE packing slabs so an unfittable
     config (odd W with a huge window) falls back to the unrolled decode
     instead of dying inside the XLA->Mosaic compile.  ``n=8`` sizes the
-    scratch for the largest multi-row extend the packed stack may serve."""
+    scratch for the largest multi-row extend the packed stack may serve;
+    ``batch`` sizes the batched kernel's per-slot chunk residency."""
     NV = 6 + 3 + R
     return _plan_chunks(W, d=d, H=H, hd=hd, NV=NV, cache_dt=cache_dt,
-                        w_dt=w_dt, int8=int8, kvq=kvq, R=R, n=n) is not None
+                        w_dt=w_dt, int8=int8, kvq=kvq, R=R, n=n,
+                        batch=batch) is not None
 
 
 def _kernel_int8(pos_ref, x_ref, slab_ref, scale_ref, vec_ref, cache_ref,
@@ -179,6 +187,40 @@ def _kernel_noscale(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
                     xout_ref, kv_ref, *scratch, **kw):
     _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
                  kv_ref, *scratch, scale_row=None, kvs_ref=None, **kw)
+
+
+# batched-slot variants: one extra (n, 1) VMEM operand carries the
+# per-slot positions (the scalar-prefetch vector serves the index maps;
+# vector masking needs the positions as lanes)
+def _kernel_b_noscale(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
+                      posv_ref, xout_ref, kv_ref, *scratch, **kw):
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, *scratch, scale_row=None, kvs_ref=None,
+                 posv_ref=posv_ref, **kw)
+
+
+def _kernel_b_int8(pos_ref, x_ref, slab_ref, scale_ref, vec_ref, cache_ref,
+                   posv_ref, xout_ref, kv_ref, *scratch, **kw):
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, *scratch,
+                 scale_row=lambda: scale_ref[0, 0].astype(jnp.float32),
+                 kvs_ref=None, posv_ref=posv_ref, **kw)
+
+
+def _kernel_b_kvq(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, kvs_ref,
+                  posv_ref, xout_ref, kv_ref, *scratch, **kw):
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, *scratch, scale_row=None, kvs_ref=kvs_ref,
+                 posv_ref=posv_ref, **kw)
+
+
+def _kernel_b_int8_kvq(pos_ref, x_ref, slab_ref, scale_ref, vec_ref,
+                       cache_ref, kvs_ref, posv_ref, xout_ref, kv_ref,
+                       *scratch, **kw):
+    _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref, xout_ref,
+                 kv_ref, *scratch,
+                 scale_row=lambda: scale_ref[0, 0].astype(jnp.float32),
+                 kvs_ref=kvs_ref, posv_ref=posv_ref, **kw)
 
 
 def pack_gpt_stack(p, L, d, R=4):
@@ -378,13 +420,154 @@ def decode_stack(x, cache, pos, slabs, vecs, scales=None, *, eps, R=4,
     return x_out, kv
 
 
+def decode_stack_batch(x, cache, pos, slabs, vecs, scales=None, *, eps,
+                       R=4, kv_scales=None):
+    """B independent decode slots through the whole layer stack with ONE
+    weight stream.
+
+    ``jax.vmap`` of the single-slot kernel prepends a batch grid dim, so
+    every slot re-streams all L x S weight slabs -- measured r4: batch-8
+    aggregate decode was barely above single-stream (1320 vs 1139 tok/s)
+    because decode is weight-read-bound.  Here the B slots ride the SAME
+    slab pipeline: the qkv/fc GEMMs batch to (B, d) rows (better MXU
+    occupancy too), and only the attention step walks per-slot cache
+    blocks.  Weight traffic drops B-fold; the serving engine's tick is
+    built on this.
+
+    x: (B, d) rows, one per slot; cache: (B, L, 2, H, W, hd); pos: (B,)
+    int32 per-slot positions.  Returns ``(x_out (B, d), kv (L, 2, B, d))``
+    -- the caller scatters slot b's kv at row pos[b] (one vmapped
+    dynamic_update_slice).  Slots are independent sequences: each attends
+    its own cache rows < pos[b] plus its own new row (no cross-slot
+    attention).  ``kv_scales`` (B, L, 2, H, W, 1) switches on the int8-KV
+    path exactly as in ``decode_stack``.  The chunk-skip gate keys on
+    max(pos): a tick whose slots are all early in their windows streams
+    only the chunks any slot can see.
+    """
+    B, _ = x.shape
+    L, S, d, _ = slabs.shape
+    _, _, _, H, W, hd = cache.shape
+    scale = float(1.0 / np.sqrt(hd))
+    int8 = scales is not None
+    kvq = kv_scales is not None
+    NV = vecs.shape[1]
+    C = _plan_chunks(W, d=d, H=H, hd=hd, NV=NV, cache_dt=cache.dtype,
+                     w_dt=slabs.dtype, int8=int8, kvq=kvq, R=R, n=B,
+                     batch=B)
+    if C is None:
+        raise ValueError(
+            f"decode_stack_batch: no cache chunking of W={W} x B={B} fits "
+            f"VMEM (gate with stack_fits(batch=...) before packing)")
+    Wc = W // C
+    SG = 3 + C + 2 * R
+    posb = jnp.asarray(pos, jnp.int32).reshape(B)
+
+    kern = functools.partial(
+        (_kernel_b_int8_kvq if int8 else _kernel_b_kvq) if kvq
+        else (_kernel_b_int8 if int8 else _kernel_b_noscale),
+        L=L, S=SG, C=C, Wc=Wc, R=R, H=H, hd=hd, n=B, eps=float(eps),
+        scale=scale)
+
+    def slab_idx(s):
+        return jnp.minimum(s, 3) + jnp.maximum(s - (2 + C), 0)
+
+    def last_chunk(pref):
+        mx = functools.reduce(jnp.maximum, [pref[b] for b in range(B)])
+        return jnp.maximum((mx + Wc - 1) // Wc, 1) - 1
+
+    def cache_map(l, s, pref):
+        last = last_chunk(pref)
+        c_att = jnp.clip(s - 3, 0, last)
+        is_qkv = s < 3
+        cc = jnp.where(is_qkv, jnp.where(l > 0, last, 0),
+                       jnp.where(s >= 3 + C, last, c_att))
+        lq = jnp.where(is_qkv & (l > 0), l - 1, l)
+        return (0, lq, 0, 0, cc, 0)
+
+    def kvs_map(l, s, pref):
+        _, lq, _, _, cc, _ = cache_map(l, s, pref)
+        return (0, lq, 0, 0, cc)
+
+    in_specs = [
+        pl.BlockSpec((B, d), lambda l, s, pref: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, d, d), lambda l, s, pref: (l, slab_idx(s), 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, slabs]
+    if int8:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, 1, d), lambda l, s, pref: (l, slab_idx(s), 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(scales)
+    in_specs += [
+        pl.BlockSpec((1, NV, d), lambda l, s, pref: (l, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((B, 1, 2, H, Wc, hd), cache_map,
+                     memory_space=pltpu.VMEM),
+    ]
+    args += [vecs, cache]
+    if kvq:
+        in_specs.append(pl.BlockSpec((B, 1, 2, H, Wc), kvs_map,
+                                     memory_space=pltpu.VMEM))
+        args.append(kv_scales.reshape(B, L, 2, H, W))
+    in_specs.append(pl.BlockSpec((B, 1), lambda l, s, pref: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    args.append(posb.reshape(B, 1))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, SG),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((B, d), lambda l, s, pref: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, B, d), lambda l, s, pref: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, d), jnp.float32),           # hln
+            pltpu.VMEM((B, d), jnp.float32),           # q
+            pltpu.VMEM((B, d), jnp.float32),           # k
+            pltpu.VMEM((B, d), jnp.float32),           # v
+            pltpu.VMEM((B, d), jnp.float32),           # att
+            pltpu.VMEM((R * B, d), jnp.float32),       # mlp
+            pltpu.VMEM((B, d), jnp.float32),           # xacc
+            pltpu.VMEM((B, d), jnp.float32),           # acc
+            pltpu.VMEM((B, d), jnp.float32),           # mrun
+            pltpu.VMEM((B, d), jnp.float32),           # drun
+        ],
+    )
+    x_out, kv = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, d), x.dtype),
+            jax.ShapeDtypeStruct((L, 2, B, d),
+                                 x.dtype if kvq else cache.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret(),
+    )(posb, *args)
+    return x_out, kv
+
+
 def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
                  xout_ref, kv_ref, hln, qs, ks, vs, att, mlp, xacc, acc,
                  mrun, drun, *, scale_row, kvs_ref, L, S, C, Wc, R, H, hd,
-                 n, eps, scale):
+                 n, eps, scale, posv_ref=None):
+    batched = posv_ref is not None
     l = pl.program_id(0)
     s = pl.program_id(1)
-    pos = pos_ref[0]
+    if batched:
+        # n independent slots, each at its own position: the DMA/compute
+        # gate keys on the furthest slot (per-slot masking handles the
+        # rest -- a chunk beyond slot b's pos contributes exp(-inf)=0)
+        pos = functools.reduce(jnp.maximum,
+                               [pos_ref[b] for b in range(n)])
+    else:
+        pos = pos_ref[0]
     cdt = x_ref.dtype
     vec = vec_ref[0]                                   # (NV, d) cdt
 
@@ -433,28 +616,39 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
     def _():
         @pl.when(c == 0)
         def _():
-            # emit the n k/v rows; seed the recurrence with the (n, n)
-            # causal SELF-block (rows attend in-flight rows <= their own
-            # position at full precision)
+            # emit the n k/v rows; seed the recurrence with the self
+            # attention terms at full precision.  Sequential rows (extend
+            # mode): an (n, n) causal block -- in-flight rows attend each
+            # other.  Batched slots: each slot attends ONLY its own row
+            # (slots are independent sequences).
             kv_ref[0, 0] = ks[...].astype(kv_ref.dtype)
             kv_ref[0, 1] = vs[...].astype(kv_ref.dtype)
-            ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-            ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-            vis = ci <= ri
-            for h in range(H):
-                sl = slice(h * hd, (h + 1) * hd)
-                ss = jax.lax.dot_general(
-                    qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale
-                ss = jnp.where(vis, ss, _NEG)          # (n, n)
-                m0 = jnp.max(ss, -1, keepdims=True)
-                p0 = jnp.exp(ss - m0)
-                mrun[:, sl] = jnp.broadcast_to(m0, (n, hd))
-                drun[:, sl] = jnp.broadcast_to(
-                    jnp.sum(p0, -1, keepdims=True), (n, hd))
-                att[:, sl] = jax.lax.dot_general(
-                    p0, vs[:, sl], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+            if batched:
+                for h in range(H):
+                    sl = slice(h * hd, (h + 1) * hd)
+                    s_self = jnp.sum(qs[:, sl] * ks[:, sl], -1,
+                                     keepdims=True) * scale     # (n, 1)
+                    mrun[:, sl] = jnp.broadcast_to(s_self, (n, hd))
+                    drun[:, sl] = jnp.ones((n, hd), jnp.float32)
+                    att[:, sl] = vs[:, sl]
+            else:
+                ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                vis = ci <= ri
+                for h in range(H):
+                    sl = slice(h * hd, (h + 1) * hd)
+                    ss = jax.lax.dot_general(
+                        qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    ss = jnp.where(vis, ss, _NEG)      # (n, n)
+                    m0 = jnp.max(ss, -1, keepdims=True)
+                    p0 = jnp.exp(ss - m0)
+                    mrun[:, sl] = jnp.broadcast_to(m0, (n, hd))
+                    drun[:, sl] = jnp.broadcast_to(
+                        jnp.sum(p0, -1, keepdims=True), (n, hd))
+                    att[:, sl] = jax.lax.dot_general(
+                        p0, vs[:, sl], (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
 
         # Process this chunk's cache block.  Cache rows < pos are visible
         # to ALL n in-flight rows (rows >= pos are stale; in-flight
@@ -465,29 +659,43 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
         @pl.when((c == 0) | (base < pos))
         def _():
             col = base + jax.lax.broadcasted_iota(jnp.int32, (1, Wc), 1)
-            seen = col < pos                           # strictly-before rows
+            # strictly-before rows; batched: per-slot positions broadcast
+            # (n, 1) against the column row
+            seen = col < (posv_ref[...] if batched else pos)
             for h in range(H):
                 sl = slice(h * hd, (h + 1) * hd)
                 qh = qs[:, sl]                         # (n, hd) f32
-                kch = cache_ref[0, 0, h]               # (Wc, hd)
-                vch = cache_ref[0, 1, h]
-                if kvs_ref is not None:
-                    # int8 rows: dequant rides the (n, Wc) score /
-                    # probability ROWS (K scale on the score columns, V
-                    # scale folded into the probabilities) -- O(Wc) extra
-                    # work, no (Wc, hd) dequant materialization.  f32
-                    # dots: int8 trades MXU rate for HBM bytes, and
-                    # Wc x hd per head is tiny.
-                    sc = jax.lax.dot_general(
-                        qh, kch.astype(jnp.float32),
+
+                def _score(q2, kc2):
+                    if kvs_ref is not None:
+                        # int8 rows: dequant rides the (n, Wc) score /
+                        # probability ROWS (K scale on the score columns,
+                        # V scale folded into the probabilities) -- O(Wc)
+                        # extra work, no (Wc, hd) dequant materialization.
+                        # f32 dots: int8 trades MXU rate for HBM bytes,
+                        # and Wc x hd per head is tiny.
+                        return jax.lax.dot_general(
+                            q2, kc2.astype(jnp.float32),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+                    return jax.lax.dot_general(
+                        q2.astype(cdt), kc2,
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32) * scale
-                    sc = sc * kvs_ref[0, 0, h:h + 1]
+
+                if batched:
+                    # each slot scores against ITS OWN cache chunk; the
+                    # stats/softmax math below stays fully vectorized
+                    sc = jnp.concatenate(
+                        [_score(qs[b:b + 1, sl], cache_ref[b, 0, 0, h])
+                         for b in range(n)], axis=0)   # (n, Wc)
+                    if kvs_ref is not None:
+                        sc = sc * kvs_ref[:, 0, 0, h]
                 else:
-                    sc = jax.lax.dot_general(
-                        qh.astype(cdt), kch,
-                        (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32) * scale
+                    kch = cache_ref[0, 0, h]           # (Wc, hd)
+                    sc = _score(qh, kch)
+                    if kvs_ref is not None:
+                        sc = sc * kvs_ref[0, 0, h:h + 1]
                 sc = jnp.where(seen, sc, _NEG)         # (n, Wc)
                 # stats lanes within a head all hold the same value; a
                 # keepdims max reads them back as (n, 1)
@@ -500,17 +708,29 @@ def _kernel_body(pos_ref, x_ref, slab_ref, vec_ref, cache_ref,
                 drun[:, sl] = jnp.broadcast_to(
                     den_old * corr + jnp.sum(pc, -1, keepdims=True),
                     (n, hd))
-                if kvs_ref is not None:
-                    pv = pc * kvs_ref[0, 1, h:h + 1]
-                    ctx = jax.lax.dot_general(
-                        pv, vch.astype(jnp.float32),
+
+                def _context(p2, vc2):
+                    if kvs_ref is not None:
+                        return jax.lax.dot_general(
+                            p2, vc2.astype(jnp.float32),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    return jax.lax.dot_general(
+                        p2.astype(cdt), vc2,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32)
+
+                if batched:
+                    pv = pc * kvs_ref[:, 0, 1, h] if kvs_ref is not None \
+                        else pc
+                    ctx = jnp.concatenate(
+                        [_context(pv[b:b + 1], cache_ref[b, 0, 1, h])
+                         for b in range(n)], axis=0)   # (n, hd)
                 else:
-                    ctx = jax.lax.dot_general(
-                        pc.astype(cdt), vch,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
+                    vch = cache_ref[0, 1, h]
+                    pv = pc * kvs_ref[0, 1, h:h + 1] if kvs_ref is not None \
+                        else pc
+                    ctx = _context(pv, vch)
                 att[:, sl] = att[:, sl] * corr + ctx
 
         @pl.when(c == C - 1)

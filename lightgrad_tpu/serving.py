@@ -105,13 +105,21 @@ class InferenceEngine:
                 lambda cs, c: cs.at[slot].set(c), caches, cache), logits
 
         self._admit = lambda *a: admit_impl(prefill.params, *a)
-        bstep_impl = jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0)))
+        # native batched step when the model provides one (all slots share
+        # ONE weight stream -- ops/decode_stack.decode_stack_batch);
+        # vmap-of-step re-streams weights per slot and is the fallback
+        step_batch = getattr(model._kv_fns, "step_batch", None)
+        if step_batch is not None:
+            bstep_impl = jax.jit(step_batch.fn)
+        else:
+            bstep_impl = jax.jit(jax.vmap(step.fn, in_axes=(None, 0, 0, 0)))
         self._bstep = lambda *a: bstep_impl(step.params, *a)
         # device-sampled tick programs, one per (temp, top_k, top_p)
         # signature; per-slot PRNG keys live on device across ticks
         self._tick_fns = {}
         self._keys = jnp.stack([jax.random.PRNGKey(i) for i in range(slots)])
         self._step_fn, self._step_params = step.fn, step.params
+        self._step_batch_fn = None if step_batch is None else step_batch.fn
 
         self._active = [None] * slots     # slot -> Request | None
         self._queue = []
@@ -235,6 +243,30 @@ class InferenceEngine:
 
         temp, tk, tp = sig
         step_fn = self._step_fn
+        sb_fn = self._step_batch_fn
+
+        if sb_fn is not None:
+            # native batched tick: every scanned step advances ALL slots
+            # through ONE weight stream (decode_stack_batch); sampling
+            # stays per-slot via vmap over (logits row, key)
+            def allslots(p, caches, poss, toks, keys):
+                def body(carry, _):
+                    caches, poss, toks, keys = carry
+                    caches, logits = sb_fn(p, caches, poss, toks)
+                    splits = jax.vmap(jax.random.split)(keys)
+                    keys, subs = splits[:, 0], splits[:, 1]
+                    nxt = jax.vmap(
+                        lambda lg, k: _device_sample(lg, k, temp, tk, tp))(
+                        logits, subs)
+                    return (caches, poss + 1, nxt, keys), nxt
+
+                (caches, _, _, keys), toks = jax.lax.scan(
+                    body, (caches, poss, toks, keys), None, length=steps)
+                # (steps, slots) -> (slots, steps) to match the vmapped
+                # single-slot program's output layout
+                return caches, toks.T, keys
+
+            return jax.jit(allslots)
 
         def one(p, cache, pos, tok, key):
             def body(carry, _):

@@ -414,3 +414,120 @@ def test_speculative_device_through_megakernel():
             for a in ("_kv_fns", "_dev_gen", "_dev_spec"):
                 if hasattr(m, a):
                     delattr(m, a)
+
+
+def test_batched_step_matches_vmapped_single():
+    """decode_stack_batch (B slots, ONE weight stream) vs the vmap lift of
+    the single-slot megakernel step: logits and caches identical."""
+    model = _build(vocab=64, W=64, d=128, L=2, H=2, seed=31)
+    fp = _fns(model, "pallas")
+    assert fp.step_batch is not None
+
+    B, W = 3, model.cfg.n_positions
+    rng = np.random.RandomState(0)
+    lens = [3, 7, 5]
+    c0 = fp.init_cache()
+    cs = []
+    for b in range(B):
+        toks = jnp.asarray(np.pad(rng.randint(0, 64, lens[b]).astype(
+            np.int32), (0, W - lens[b])))
+        cb, _ = fp.prefill(c0, toks, lens[b])
+        cs.append(cb)
+    caches = jnp.stack(cs)
+    poss = jnp.asarray(np.array(lens, np.int32))
+    toks = jnp.asarray(rng.randint(0, 64, B).astype(np.int32))
+    cv, lv = jax.vmap(fp.step.fn, in_axes=(None, 0, 0, 0))(
+        fp.step.params, caches, poss, toks)
+    cb_, lb = fp.step_batch(caches, poss, toks)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lv),
+                               rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(cb_), np.asarray(cv),
+                               rtol=5e-4, atol=5e-4)
+
+
+def test_batched_step_chunked_and_int8_kv(monkeypatch):
+    """Batched kernel with a chunked window AND the int8 KV cache: the
+    per-slot chunk-skip masking must hold when slots straddle different
+    chunks (pos 100 vs 140 of Wc=128)."""
+    from lightgrad_tpu.ops import decode_stack as ds
+    kw = dict(d=128, H=2, hd=64, NV=13, cache_dt=jnp.int8,
+              w_dt=jnp.float32, int8=False, kvq=True, R=4, n=2, batch=2)
+    budget = (ds._working_set_bytes(256, **kw)
+              + ds._working_set_bytes(128, **kw)) // 2
+    monkeypatch.setattr(ds, "_VMEM_BUDGET", budget)
+    assert ds._plan_chunks(256, **kw) == 2
+
+    model = _build(vocab=64, W=256, d=128, L=2, H=2, seed=32)
+    model.quantize_kv()
+    fp = _fns(model, "pallas")
+    assert fp.step_batch is not None
+
+    B, W = 2, model.cfg.n_positions
+    rng = np.random.RandomState(1)
+    lens = [100, 140]
+    c0 = fp.init_cache()
+    cqs, css = [], []
+    for b in range(B):
+        toks = jnp.asarray(np.pad(rng.randint(0, 64, lens[b]).astype(
+            np.int32), (0, W - lens[b])))
+        cb, _ = fp.prefill(c0, toks, lens[b])
+        cqs.append(cb[0])
+        css.append(cb[1])
+    caches = (jnp.stack(cqs), jnp.stack(css))
+    poss = jnp.asarray(np.array(lens, np.int32))
+    toks = jnp.asarray(rng.randint(0, 64, B).astype(np.int32))
+    cv, lv = jax.vmap(fp.step.fn, in_axes=(None, (0, 0), 0, 0))(
+        fp.step.params, caches, poss, toks)
+    cb_, lb = fp.step_batch(caches, poss, toks)
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(lv),
+                               rtol=5e-3, atol=5e-3)
+    assert np.max(np.abs(np.asarray(cb_[0]).astype(np.int32)
+                         - np.asarray(cv[0]).astype(np.int32))) <= 1
+
+
+def test_batch_generation_through_batched_kernel():
+    """generate_batch_device routes through the native batched program and
+    produces the same tokens as the per-slot single-stream decode."""
+    model = _build(vocab=64, W=64, d=128, L=2, H=2, seed=33)
+    prev = runtime.set_kernel_mode("pallas")
+    try:
+        for a in ("_kv_fns", "_dev_gen", "_dev_gen_batch"):
+            if hasattr(model, a):
+                delattr(model, a)
+        prompts = [[3, 1, 4], [1, 5, 9, 2], [6]]
+        outs = model.generate_batch_device(prompts, max_new_tokens=6)
+        singles = [model.generate_device(p, max_new_tokens=6)
+                   for p in prompts]
+        assert outs == singles, (outs, singles)
+    finally:
+        runtime.set_kernel_mode(prev)
+        for a in ("_kv_fns", "_dev_gen", "_dev_gen_batch"):
+            if hasattr(model, a):
+                delattr(model, a)
+
+
+def test_serving_engine_uses_batched_step():
+    """InferenceEngine ticks through the batched megakernel program and
+    still satisfies its request contract."""
+    import lightgrad_tpu as light
+    from lightgrad_tpu.serving import InferenceEngine
+
+    model = _build(vocab=64, W=64, d=128, L=2, H=2, seed=34)
+    prev = runtime.set_kernel_mode("pallas")
+    try:
+        for a in ("_kv_fns",):
+            if hasattr(model, a):
+                delattr(model, a)
+        eng = InferenceEngine(model, slots=2, steps_per_tick=4)
+        assert eng._step_batch_fn is not None
+        reqs = [eng.submit([3, 1, 4], 6), eng.submit([1, 5], 9),
+                eng.submit([7, 7, 7, 7], 5)]
+        done = eng.run()
+        assert len(done) == 3
+        assert all(r.n_generated == r.max_new_tokens for r in reqs)
+        assert all(0 <= t < 64 for r in reqs for t in r.tokens)
+    finally:
+        runtime.set_kernel_mode(prev)
+        for a in ("_kv_fns",):
+            if hasattr(model, a):
+                delattr(model, a)
