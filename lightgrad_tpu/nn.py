@@ -248,6 +248,21 @@ class Flatten(Module):
         return x.reshape(x.shape[0], -1)
 
 
+def _amp_input(x, w):
+    """Autocast boundary: a low-precision (AMP-cast) layer fed an f32
+    input computes in the WEIGHT's dtype.  Without this, a mixed matmul
+    silently promotes the whole op to f32 (an AMP leak that costs the
+    one-pass MXU mode) and a mixed conv is a hard XLA error
+    (lax.conv_general_dilated requires equal dtypes -- measured r5:
+    ResNet-20 AMP train on raw f32 images).  The cast is on the tape, so
+    the input's gradient flows back in f32 (the standard AMP boundary)."""
+    import numpy as np
+    wd, xd = np.dtype(w.dtype), np.dtype(x.dtype)
+    if wd != xd and wd.itemsize < xd.itemsize and xd.kind == "f":
+        return x.astype(w.dtype)
+    return x
+
+
 class Linear(Module):
     def __init__(self, in_feats: int, out_feats: int, bias: bool = True):
         super().__init__()
@@ -255,7 +270,7 @@ class Linear(Module):
         self.bias = _fan_in_uniform((out_feats,), in_feats) if bias else None
 
     def forward(self, x):
-        y = x @ self.weight.T(1, 0)
+        y = _amp_input(x, self.weight) @ self.weight.T(1, 0)
         return y + self.bias if self.bias is not None else y
 
 
@@ -289,6 +304,7 @@ class Conv2d(Module):
         self.p = pad
 
     def forward(self, x):
+        x = _amp_input(x, self.w)
         needs_pad = self.p != 0 and self.p != (0, 0)
         y = (x.pad(self.p) if needs_pad else x).conv(
             self.w, strides=self.s, dilation=self.d, groups=self.g)
@@ -318,9 +334,9 @@ class ConvTranspose2d(Module):
         self.d, self.g = dilation, groups
 
     def forward(self, x):
-        y = x.conv_transpose(self.w, strides=self.s, dilation=self.d,
-                             groups=self.g, output_padding=self.op,
-                             pad=self.p)
+        y = _amp_input(x, self.w).conv_transpose(
+            self.w, strides=self.s, dilation=self.d, groups=self.g,
+            output_padding=self.op, pad=self.p)
         return y + self.b if self.b is not None else y
 
 

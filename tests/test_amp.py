@@ -154,3 +154,26 @@ def test_mixed_precision_under_jit():
     # recorded+compiled path keeps dtypes straight
     assert all(p.dtype == jnp.bfloat16 for p in mp.compute_params)
     assert all(m.dtype == jnp.float32 for m in mp.masters)
+
+
+def test_amp_conv_and_linear_accept_f32_inputs():
+    """Autocast boundary (measured r5: ResNet-20 AMP train crashed --
+    lax.conv_general_dilated requires equal dtypes -- when raw f32 images
+    hit a bf16-cast stem): bf16-cast Conv2d/Linear fed f32 inputs cast
+    the input to the weight dtype on the tape; gradients flow back f32."""
+    import numpy as np
+    import jax.numpy as jnp
+    import lightgrad_tpu as light
+    from lightgrad_tpu import nn
+    from lightgrad_tpu.autograd import TpuTensor
+
+    np.random.seed(0)
+    net = nn.Sequential(nn.Conv2d(1, 4, 3), nn.ReLU(), nn.Flatten(),
+                        nn.Linear(4 * 8 * 8, 3))
+    light.amp.cast_module(net, jnp.bfloat16)
+    x = TpuTensor.from_numpy(
+        np.random.uniform(-1, 1, (2, 1, 8, 8)).astype(np.float32))
+    y = net(x)
+    assert str(y.dtype) == "bfloat16"
+    y.sum().backward()
+    assert str(x.grad.dtype) == "float32"
