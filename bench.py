@@ -16,11 +16,18 @@ sub-benchmarks go to stderr and benchmarks/results/tpu_results.json
 (untracked)."""
 
 import atexit
+import itertools
 import json
 import os
 import signal
 import sys
 import time
+
+# globally-unique seeds for repeated device generations: the PRNG key is a
+# program ARGUMENT (unused under greedy decode, so tokens are unaffected)
+# and the tunnel dedups identical (program, args) executions (see
+# _dedup_bump) -- every timed generation must use a fresh seed
+_SEEDS = itertools.count(1)
 
 # silence XLA C++ log spam (e.g. cpu_aot_loader machine-feature warnings):
 # the driver parses the TAIL of this process's output, and round 2 lost its
@@ -282,6 +289,34 @@ def bench_gradient_descent(epochs=100, chain=10):
     return float(np.median(vals)), vals
 
 
+_BUMP_FN = None
+_BUMP_I = [0]
+
+
+def _dedup_bump(t):
+    """Perturb a timed stage's input between calls -- the axon tunnel
+    DEDUPLICATES identical (program, args) executions BY CONTENT
+    (measured r5: a constant-input amortized 4096^2 bf16 matmul region
+    reported 214 TF/s on a 197 TF/s-peak chip; a fresh same-content
+    buffer still deduped at 156; only changed content measured the real
+    ~31-49 TF/s in the same windows).  Training-style stages are
+    naturally immune (optimizer state mutates every call); pure fwd/bwd
+    stages must vary an input.  Alternating multiplication by u and 1/u
+    (u = 1 + 2^-7, representable in bf16) changes every element every
+    call while staying bounded -- rounding makes the content walk, never
+    exactly repeat.  The bump's elementwise cost lands inside the timed
+    region: a <=3% overestimate, in the honest direction."""
+    global _BUMP_FN
+    import jax
+    import jax.numpy as jnp
+
+    if _BUMP_FN is None:
+        _BUMP_FN = jax.jit(lambda a, s: a * s.astype(a.dtype))
+    _BUMP_I[0] += 1
+    u = 1.0 + 2.0 ** -7
+    t._set_data(_BUMP_FN(t.data, jnp.float32(u if _BUMP_I[0] % 2 else 1 / u)))
+
+
 def _fwd_bwd_bench(make_loss, params, flops, iters, repeats=5):
     def fwd_bwd():
         loss = make_loss()
@@ -291,7 +326,12 @@ def _fwd_bwd_bench(make_loss, params, flops, iters, repeats=5):
         return loss
 
     fn = light.jit(fwd_bwd)
-    dt, vals = time_median(lambda: fn().data, iters=iters, repeats=repeats)
+
+    def call():
+        _dedup_bump(params[0])
+        return fn().data
+
+    dt, vals = time_median(call, iters=iters, repeats=repeats)
     return dt, vals, flops / dt / 1e9
 
 
@@ -452,11 +492,13 @@ def bench_quant_linear(m=4096, k=4096, n=4096, iters=10, repeats=5, chain=8):
         return run
 
     fn_f = light.jit(chain_of(lin))
-    dt_f, vals_f = time_median(lambda: fn_f().data, iters=iters,
-                               repeats=repeats)
+    dt_f, vals_f = time_median(
+        lambda: (_dedup_bump(x), fn_f().data)[1], iters=iters,
+        repeats=repeats)
     fn_q = light.jit(chain_of(q))
-    dt_q, vals_q = time_median(lambda: fn_q().data, iters=iters,
-                               repeats=repeats)
+    dt_q, vals_q = time_median(
+        lambda: (_dedup_bump(x), fn_q().data)[1], iters=iters,
+        repeats=repeats)
     dt_f, dt_q = dt_f / chain, dt_q / chain
     vals_f = [round(v / chain, 6) for v in vals_f]
     vals_q = [round(v / chain, 6) for v in vals_q]
@@ -500,22 +542,29 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
     # per-token host round-trip disappears -- ONE dispatch + ONE readback
     # per generation; the latency-optimal serving path.  Median of 3 full
     # generations: single runs on the shared chip jitter with tenancy.
+    # each rep gets a DISTINCT seed: the PRNG key is a program argument
+    # (unused under greedy decode, so the tokens are identical), and the
+    # tunnel DEDUPLICATES identical (program, args) executions -- repeated
+    # same-args generations return cached buffers at ~RTT cost (measured
+    # r5, see _dedup_bump)
     def timed(fn, reps=3):
         ts = []
-        for _ in range(reps):
+        for i in range(reps):
             t0 = time.time()
-            out = fn()
+            out = fn(i + 1)
             ts.append(time.time() - t0)
         return sorted(ts)[len(ts) // 2], out
 
     model.generate_device(prompt, max_new_tokens=new_tokens)  # compile
     dev_single_s, out = timed(
-        lambda: model.generate_device(prompt, max_new_tokens=new_tokens))
+        lambda s: model.generate_device(prompt, max_new_tokens=new_tokens,
+                                        seed=next(_SEEDS)))
     assert len(out) == prompt_len + new_tokens
     model.generate_batch_device(prompts, max_new_tokens=new_tokens)
     dev_batch_s, outs = timed(
-        lambda: model.generate_batch_device(prompts,
-                                            max_new_tokens=new_tokens))
+        lambda s: model.generate_batch_device(prompts,
+                                              max_new_tokens=new_tokens,
+                                              seed=next(_SEEDS)))
     n_tok_dev = sum(len(o) - prompt_len for o in outs)
 
     def net_tok(model):
@@ -538,11 +587,14 @@ def bench_decode(prompt_len=32, new_tokens=64, batch=8, n_embd=768,
         s_short = s_long = None
         for _attempt in range(2):
             s_short, out = timed(
-                lambda: model.generate_device(prompt,
-                                              max_new_tokens=new_tokens))
+                lambda s: model.generate_device(prompt,
+                                                max_new_tokens=new_tokens,
+                                                seed=next(_SEEDS)))
             assert len(out) == prompt_len + new_tokens
             s_long, out = timed(
-                lambda: model.generate_device(prompt, max_new_tokens=t_long))
+                lambda s: model.generate_device(prompt,
+                                                max_new_tokens=t_long,
+                                                seed=next(_SEEDS)))
             assert len(out) == prompt_len + t_long
             if s_long - s_short > 2 * dispatch_floor():
                 break
@@ -596,7 +648,9 @@ def bench_decode_longctx(prompt_len=1500, new_tokens=64, window=2048,
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            out = model.generate_device(prompt, max_new_tokens=n)
+            # fresh seed per rep: the tunnel dedups identical executions
+            out = model.generate_device(prompt, max_new_tokens=n,
+                                        seed=next(_SEEDS))
             ts.append(time.time() - t0)
         assert len(out) == prompt_len + n
         return sorted(ts)[len(ts) // 2]
@@ -656,7 +710,9 @@ def bench_serving_engine(n_requests=32, slots=8, steps_per_tick=8,
         for i in range(0, n_requests, slots):
             group = reqs[i:i + slots]
             outs = model.generate_batch_device(
-                [p for p, _ in group], max_new_tokens=max(n for _, n in group))
+                [p for p, _ in group],
+                max_new_tokens=max(n for _, n in group),
+                seed=next(_SEEDS))  # tunnel execution dedup (see _dedup_bump)
             done += sum(n for _, n in group)
         return done
 
@@ -668,9 +724,13 @@ def bench_serving_engine(n_requests=32, slots=8, steps_per_tick=8,
 
     # --- continuous batching engine --------------------------------------
     eng = InferenceEngine(model, slots=slots, steps_per_tick=steps_per_tick)
-    for p, n in reqs[:slots]:
-        eng.submit(p, n)
-    eng.run()  # compile admission + tick programs
+    # compile admission + tick programs on DISTINCT warmup requests: an
+    # admission prefill has no PRNG argument, so re-admitting the same
+    # prompt would return the tunnel's cached execution (see _dedup_bump)
+    # and hand the engine ~slots free prefills in the timed run
+    for _ in range(slots):
+        eng.submit([int(t) for t in rng.integers(0, vocab, 16)], 4)
+    eng.run()
     for p, n in reqs:
         eng.submit(p, n)
     t0 = time.time()
@@ -739,12 +799,14 @@ def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
 
     prompt = [stoi[c] for c in text[1000:1032]]
 
-    def t_plain():
-        return target.generate_device(prompt, max_new_tokens=new_tokens)
+    def t_plain(seed=0):
+        return target.generate_device(prompt, max_new_tokens=new_tokens,
+                                      seed=seed)
 
-    def t_spec():
+    def t_spec(seed=0):
         return generate_speculative_device(target, draft, prompt,
-                                           max_new_tokens=new_tokens, k=k)
+                                           max_new_tokens=new_tokens, k=k,
+                                           seed=seed)
 
     want = t_plain()  # compile
     got = t_spec()    # compile
@@ -771,10 +833,11 @@ def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
         err(f"speculative: near-tie argmax flip at token {pre} "
             f"({pre - len(prompt)}/{new_tokens} greedy-identical prefix)")
 
-    dt_p, _ = time_median(lambda: np.asarray(t_plain()), iters=1,
-                          repeats=repeats)
-    dt_s, _ = time_median(lambda: np.asarray(t_spec()), iters=1,
-                          repeats=repeats)
+    # fresh seed per rep (tunnel execution dedup; greedy ignores the key)
+    dt_p, _ = time_median(lambda: np.asarray(t_plain(next(_SEEDS))),
+                          iters=1, repeats=repeats)
+    dt_s, _ = time_median(lambda: np.asarray(t_spec(next(_SEEDS))),
+                          iters=1, repeats=repeats)
     return (new_tokens / dt_p, new_tokens / dt_s, dt_p / dt_s,
             t_loss, d_loss)
 

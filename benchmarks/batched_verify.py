@@ -45,20 +45,24 @@ try:
 
     # aggregate throughput: repeat timed batched runs (whole generation,
     # readback forced by the host conversion inside generate_batch_device)
+    # fresh seed per rep: the PRNG key is a program argument (greedy
+    # ignores it) and the tunnel DEDUPLICATES identical (program, args)
+    # executions -- same-args repeats return cached buffers at ~RTT cost
     ts = []
-    for _ in range(5):
+    for i in range(5):
         t0 = time.time()
-        model.generate_batch_device(prompts, max_new_tokens=NEW)
+        model.generate_batch_device(prompts, max_new_tokens=NEW,
+                                    seed=1000 + i)
         ts.append(time.time() - t0)
     med = sorted(ts)[2]
     print(f"batched device gen: {B*NEW/med:.0f} tok/s aggregate "
           f"(median {med:.3f}s, runs {[round(t,3) for t in ts]})")
 
     ts = []
-    for _ in range(3):
+    for i in range(3):
         t0 = time.time()
-        for p in prompts[:2]:
-            model.generate_device(p, max_new_tokens=NEW)
+        for j, p in enumerate(prompts[:2]):
+            model.generate_device(p, max_new_tokens=NEW, seed=2000 + 2*i + j)
         ts.append(time.time() - t0)
     med = sorted(ts)[1]
     print(f"single-stream x2: {2*NEW/med:.0f} tok/s aggregate "

@@ -5,6 +5,16 @@ The attached chip is time-shared behind the axon tunnel, where
 must end in a real readback, and run-to-run variance is large.  Protocol:
 ``repeats`` timed regions of ``iters`` amortized calls each, report the
 MEDIAN per-call time plus all per-region values.
+
+CRITICAL (measured r5): the tunnel DEDUPLICATES identical (program, args)
+executions BY CONTENT -- a constant-input amortized region re-executes
+nothing and reports impossible throughput (214 "TF/s" on a 197 TF/s-peak
+chip; a fresh buffer with the same bits still dedups).  Every timed call
+must differ from every other: perturb an input between calls
+(bench._dedup_bump), thread a fresh PRNG seed (generation paths), or rely
+on in-place state mutation (training steps are naturally immune).
+``dispatch_floor`` is unaffected: each of its readbacks pays the full RTT
+whether or not the execution was cached.
 """
 
 import time
