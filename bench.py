@@ -746,9 +746,13 @@ def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
     """Speculative decoding vs plain device-loop greedy decode (VERDICT r3
     #4b).  Needs a draft that actually agrees with the target, so both are
     trained on a small char corpus (this repo's README + docs -- offline,
-    deterministic): target 8x512, draft 2x256.  The speculative win is real
-    only with the parallel-verify extend pass (models/decoding.py,
-    KVFns.extend); greedy output is asserted bit-exact vs plain decode."""
+    deterministic): target 12x768 (GPT-2-small-class), draft 2x256.
+    Speculation pays when the target/draft STEP-TIME ratio is large: with
+    the megakernel the per-step cost at tiny widths is grid-step-bound,
+    not weight-bound, so an 8x512 target over a 2x256 draft was only
+    ~3.4x per step and speculative decode measured 0.82x (r5) -- the
+    verify round (k draft steps + one k+1-row megakernel extend) must be
+    amortized by a target step several times the draft's."""
     import jax.numpy as jnp
     from lightgrad_tpu.models import GPT, GPTConfig
     from lightgrad_tpu.models.decoding import generate_speculative_device
@@ -794,7 +798,7 @@ def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
                                            requires_grad=False))
         return model, float(loss.numpy())
 
-    target, t_loss = train(512, 8, 8, seed=0)
+    target, t_loss = train(768, 12, 12, seed=0)
     draft, d_loss = train(256, 2, 4, seed=1)
 
     prompt = [stoi[c] for c in text[1000:1032]]
