@@ -774,7 +774,10 @@ def bench_speculative(train_steps=300, k=4, new_tokens=192, repeats=5):
         model = GPT(cfg)
         optim = light.optim.Adam(model.parameters(), lr=3e-4)
         rng = np.random.default_rng(seed)
-        batch = 32
+        # the 12x768 target OOMs HBM at batch 32 (f32 tape saves every
+        # activation; the chip is time-shared) -- halve the batch, keep
+        # the same number of steps
+        batch = 16 if n_embd >= 768 else 32
         starts = rng.integers(0, len(data) - seq - 1, train_steps * batch)
         xs = np.stack([data[s:s + seq] for s in starts])
         ys = np.stack([data[s + 1:s + seq + 1] for s in starts])
