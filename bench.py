@@ -395,6 +395,16 @@ def bench_resnet_train(steps=30, batch=128, repeats=5):
         return loss
 
     fn = light.jit(step)
+    # the NCHW ResNet program is currently pathological on v5e (~6.5
+    # s/step compiled -- see ROADMAP r5 open items); a 2-step probe keeps
+    # the measured-but-slow case from eating the whole bench budget
+    # (30 x 5 x 6.5 s = 16 min) while leaving the honest protocol in
+    # place once the program is fixed
+    t0 = time.time()
+    fn()
+    np.asarray(fn().data)
+    if (time.time() - t0) / 2 > 0.5:
+        steps, repeats = 3, 2
     dt, vals = time_median(lambda: fn().data, iters=steps, repeats=repeats)
     # fwd conv FLOPs of resnet20 on 28^2 single-channel inputs, x3 for bwd
     flops_fwd = _resnet20_conv_flops(28, in_ch=1)
