@@ -16,7 +16,9 @@ run() { # name, cmd...
   local name=$1; shift
   echo "--- $name" | tee -a "$LOG"
   timeout 580 "$@" 2>&1 | grep -v -e Warning -e WARNING | tail -12 >> "$LOG"
-  echo "$name rc=$?" | tee -a "$LOG"
+  # PIPESTATUS[0]: the example's own exit code ($? would report tail's,
+  # masking failures -- bit the r5 smoke when examples/gpt.py asserted)
+  echo "$name rc=${PIPESTATUS[0]}" | tee -a "$LOG"
 }
 
 run gradient_descent python examples/gradient_descent.py
@@ -24,6 +26,7 @@ run mlp python examples/mnist.py --steps 200
 run cnn python examples/mnist.py --model cnn --steps 120
 run bert python examples/bert.py
 run gpt_char python examples/gpt.py --steps 120
-run t5_seq2seq python examples/t5.py --steps 300
+# default steps (800): 300 under-trains the reversal demo (r5: 0/4 exact)
+run t5_seq2seq python examples/t5.py
 
 echo "smoke log written to $LOG"

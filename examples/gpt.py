@@ -67,7 +67,8 @@ def train_char_gpt(steps=300, batch=16, seq=64):
 
     prompt = "lightgrad"
     ids = [stoi.get(c, 0) for c in prompt]
-    out = model.generate(ids, max_new_tokens=120, temperature=0.6)
+    # prompt + new must fit the n_positions=64 window for KV-cache decode
+    out = model.generate(ids, max_new_tokens=64 - len(ids), temperature=0.6)
     print("sample:", repr("".join(chars[i] for i in out)))
 
 
