@@ -55,7 +55,11 @@ def main():
         loss = light.loss.cross_entropy(logits, tgt)
         mp.zero_grad()
         loss.backward()
-        return loss
+        # read a grad into the返回 value: a standalone fwd+bwd program
+        # whose grads nothing consumes gets its ENTIRE backward DCE'd by
+        # XLA (measured: "fwd+bwd" 0.06 ms over "fwd+loss" -- impossible)
+        g0 = next(iter(model.parameters())).grad
+        return loss + g0.astype("float32").sum() * 1e-30
 
     def full():
         loss = fwd_bwd()
@@ -70,10 +74,24 @@ def main():
         loss.backward()
         return loss
 
+    # roll the token ids between calls: the tunnel DEDUPLICATES identical
+    # (program, args) executions by content (see bench._dedup_bump), and
+    # the fwd/fwd+loss/fwd+bwd programs otherwise re-see identical inputs
+    # every call (measured before this fix: "fwd+bwd" appeared only 0.1 ms
+    # over "fwd" -- a physically impossible cached-return artifact)
+    import jax
+    import jax.numpy as jnp
+    bump = jax.jit(lambda t: (t + 1) % cfg.vocab_size)
+
     for name, f in [("fwd", fwd), ("fwd+loss", fwd_loss),
                     ("fwd+bwd", fwd_bwd), ("full", full)]:
         c = light.jit(f)
-        dt, vals = time_median(lambda: c().data, iters=10, repeats=5)
+
+        def call():
+            ids._set_data(bump(ids.data))
+            return c().data
+
+        dt, vals = time_median(call, iters=10, repeats=5)
         err(f"{name:10s} {dt*1e3:8.2f} ms   {vals}")
 
 
