@@ -317,46 +317,97 @@ def _dedup_bump(t):
     t._set_data(_BUMP_FN(t.data, jnp.float32(u if _BUMP_I[0] % 2 else 1 / u)))
 
 
-def _fwd_bwd_bench(make_loss, params, flops, iters, repeats=5):
-    def fwd_bwd():
-        loss = make_loss()
-        for p in params:
-            p.zero_grad()
-        loss.backward(allow_fill=True)
-        return loss
+def _fwd_bwd_bench(chain_step, params, flops_per_hop, hops=(2, 26),
+                   repeats=5):
+    """fwd+bwd op throughput by TWO-LENGTH IN-PROGRAM differencing.
 
-    fn = light.jit(fwd_bwd)
+    r5 protocol forensics, in escalation order: (a) multi-call amortized
+    regions of identical calls re-execute nothing (tunnel content-dedup;
+    'impossible 214 TF/s'); (b) content-PERTURBED multi-call regions
+    still measured above peak (161%); (c) even a data-dependent
+    in-program chain timed over a multi-call region read back above peak
+    (281%).  The only pattern that has measured consistently across
+    windows (and agrees with the flax yardstick and the training-step
+    numbers) is the yardstick's: ONE blocking-readback call per timed
+    region, iterations CHAINED inside the program, and the marginal
+    per-hop time taken as the difference of two program lengths -- every
+    per-call fixed cost (RTT, dispatch, readback) cancels exactly.
 
-    def call():
-        _dedup_bump(params[0])
-        return fn().data
+    ``chain_step``: shape-preserving y -> y containing the op under test;
+    the loss is (y*y) after ``k`` hops (real cotangents -- a bare ones
+    cotangent lets XLA simplify matmul backwards into row reductions).
+    Returns (per-hop seconds | nan, [per-length region values], GFLOP/s).
+    A tunnel swing can make the two lengths indistinguishable; one
+    re-measure, then NaN rather than a plausible-looking fiction."""
+    from benchmarks.bench_util import dispatch_floor, readback
 
-    dt, vals = time_median(call, iters=iters, repeats=repeats)
-    return dt, vals, flops / dt / 1e9
+    def make(k):
+        def fwd_bwd():
+            y = params[0]
+            for _ in range(k):
+                y = chain_step(y)
+            loss = y * y
+            for p in params:
+                p.zero_grad()
+            loss.backward(allow_fill=True)
+            return loss
+
+        return light.jit(fwd_bwd)
+
+    f_s, f_l = make(hops[0]), make(hops[1])
+
+    def region(fn):
+        ts = []
+        for _ in range(repeats):
+            _dedup_bump(params[0])
+            t0 = time.perf_counter()
+            readback(fn().data)
+            ts.append(time.perf_counter() - t0)
+        return (sorted(ts)[len(ts) // 2], max(ts) - min(ts),
+                [round(t, 6) for t in ts])
+
+    readback(f_s().data)  # compile
+    readback(f_l().data)
+    for _attempt in range(2):
+        s_s, sp_s, v_s = region(f_s)
+        s_l, sp_l, v_l = region(f_l)
+        # the RTT itself CANCELS in the difference; what poisons it is the
+        # RTT's swing between regions -- gate on the observed within-region
+        # spread, not the absolute floor
+        if s_l - s_s > 2 * max(sp_s, sp_l):
+            dt = (s_l - s_s) / (hops[1] - hops[0])
+            return dt, [v_s, v_l], flops_per_hop / dt / 1e9
+        err(f"fwd_bwd diff {s_l - s_s:.4f}s within 2x region spread "
+            f"({max(sp_s, sp_l):.4f}s) -- tunnel swing, re-measuring")
+    return float("nan"), [v_s, v_l], float("nan")
 
 
-def bench_matmul(n=1024, iters=50, dtype=None):
+def bench_matmul(n=1024, dtype=None):
     np.random.seed(1)
     a = light.uniform(-1, 1, (n, n))
     b = light.uniform(-1, 1, (n, n))
     if dtype is not None:
         a = a.astype(dtype).detach()._set_requires_grad(True)
         b = b.astype(dtype).detach()._set_requires_grad(True)
-    return _fwd_bwd_bench(lambda: a @ b, (a, b), 3 * 2 * n ** 3, iters)
+    # *0.03 keeps the chain bounded across hops
+    return _fwd_bwd_bench(lambda y: (y @ b) * 0.03, (a, b), 3 * 2 * n ** 3)
 
 
-def bench_conv(iters=20):
+def bench_conv(**_unused):
     np.random.seed(1)
     x = light.uniform(-1, 1, (32, 16, 28, 28))
-    w = light.uniform(-1, 1, (32, 16, 3, 3))
-    flops = 3 * 2 * 32 * 32 * 26 * 26 * 16 * 9
-    return _fwd_bwd_bench(lambda: x.conv(w, strides=1), (x, w), flops, iters)
+    # 16->16 channels so the chain is shape-preserving (pad=SAME)
+    w = light.uniform(-1, 1, (16, 16, 3, 3))
+    flops = 3 * 2 * 32 * 16 * 28 * 28 * 16 * 9
+    return _fwd_bwd_bench(
+        lambda y: (y.pad(1).conv(w, strides=1)) * 0.2, (x, w), flops)
 
 
-def bench_conv_resnet(iters=10, dtype=None):
+def bench_conv_resnet(dtype=None, **_unused):
     """conv fwd+bwd at a real ResNet stage shape (VERDICT r3 #6): the
-    conv3_x body block, 32x128x30^2 -> 128x28^2 k3 -- compute-dense enough
-    that the measured number reflects the conv path, not dispatch."""
+    conv3_x body block, 32x128x30^2 k3 SAME -- compute-dense enough that
+    the measured number reflects the conv path, not dispatch; chained
+    shape-preserving for the differencing protocol."""
     np.random.seed(1)
     b, c, s, k = 32, 128, 30, 3
     x = light.uniform(-1, 1, (b, c, s, s))
@@ -364,9 +415,9 @@ def bench_conv_resnet(iters=10, dtype=None):
     if dtype is not None:
         x = x.astype(dtype).detach()._set_requires_grad(True)
         w = w.astype(dtype).detach()._set_requires_grad(True)
-    out = s - k + 1
-    flops = 3 * 2 * b * c * out * out * c * k * k
-    return _fwd_bwd_bench(lambda: x.conv(w, strides=1), (x, w), flops, iters)
+    flops = 3 * 2 * b * c * s * s * c * k * k
+    return _fwd_bwd_bench(
+        lambda y: (y.pad(1).conv(w, strides=1)) * 0.05, (x, w), flops)
 
 
 def bench_resnet_train(steps=30, batch=128, repeats=5):
@@ -447,9 +498,9 @@ def bench_bert_layer(iters=20, batch=8, seq=128, dtype=None):
         light.amp.cast_module(layer, dtype)
         x = x.astype(dtype).detach()._set_requires_grad(True)
 
+    # the layer is shape-preserving: chain it directly
     dt, vals, gf = _fwd_bwd_bench(
-        lambda: (lambda y: y * y)(layer(x)), (x,),
-        _bert_layer_flops(batch, seq, cfg), iters)
+        lambda y: layer(y), (x,), _bert_layer_flops(batch, seq, cfg))
     return dt, vals, gf
 
 
@@ -465,9 +516,9 @@ def bench_attention_long(iters=10, bh=96, s=2048, d=64, dtype=None):
                    for t in (q, k, v))
     scale = 1.0 / np.sqrt(d)
     flops = 4 * bh * s * s * d * 3.5  # fwd + ~2.5x bwd
+    # q -> attention(q, k, v) is shape-preserving: chain the query
     return _fwd_bwd_bench(
-        lambda: (lambda y: y * y)(q.attention(k, v, scale=scale)),
-        (q, k, v), flops, iters)
+        lambda y: y.attention(k, v, scale=scale), (q, k, v), flops)
 
 
 def bench_quant_linear(m=4096, k=4096, n=4096, iters=10, repeats=5, chain=8):
@@ -493,25 +544,47 @@ def bench_quant_linear(m=4096, k=4096, n=4096, iters=10, repeats=5, chain=8):
 
     flops = 2 * m * k * n
 
-    def chain_of(layer):
+    from benchmarks.bench_util import dispatch_floor, readback
+
+    def chain_of(layer, c):
         def run():
             y = x
-            for _ in range(chain):
+            for _ in range(c):
                 y = layer(y) * 0.03  # keep the residual stream bounded
             return y
-        return run
+        return light.jit(run)
 
-    fn_f = light.jit(chain_of(lin))
-    dt_f, vals_f = time_median(
-        lambda: (_dedup_bump(x), fn_f().data)[1], iters=iters,
-        repeats=repeats)
-    fn_q = light.jit(chain_of(q))
-    dt_q, vals_q = time_median(
-        lambda: (_dedup_bump(x), fn_q().data)[1], iters=iters,
-        repeats=repeats)
-    dt_f, dt_q = dt_f / chain, dt_q / chain
-    vals_f = [round(v / chain, 6) for v in vals_f]
-    vals_q = [round(v / chain, 6) for v in vals_q]
+    hops = (2, 26)
+
+    def measure(layer):
+        """Two-length in-program differencing, ONE blocking call per
+        region (see _fwd_bwd_bench: every other amortization pattern
+        measured above-peak through the tunnel this round)."""
+        f_s, f_l = chain_of(layer, hops[0]), chain_of(layer, hops[1])
+        readback(f_s().data)
+        readback(f_l().data)
+
+        def region(fn):
+            ts = []
+            for _ in range(repeats):
+                _dedup_bump(x)
+                t0 = time.perf_counter()
+                readback(fn().data)
+                ts.append(time.perf_counter() - t0)
+            return (sorted(ts)[len(ts) // 2], max(ts) - min(ts),
+                    [round(t, 6) for t in ts])
+
+        for _attempt in range(2):
+            s_s, sp_s, v_s = region(f_s)
+            s_l, sp_l, v_l = region(f_l)
+            if s_l - s_s > 2 * max(sp_s, sp_l):
+                return (s_l - s_s) / (hops[1] - hops[0]), [v_s, v_l]
+            err(f"quant_linear diff {s_l - s_s:.4f}s within 2x region "
+                f"spread ({max(sp_s, sp_l):.4f}s) -- re-measuring")
+        return float("nan"), [v_s, v_l]
+
+    dt_f, vals_f = measure(lin)
+    dt_q, vals_q = measure(q)
     return dt_f, vals_f, dt_q, vals_q, flops
 
 
@@ -1049,7 +1122,7 @@ def main():
             f"(mfu {details['matmul1024_f32_mfu']})")
 
     def st_matmul_bf16():
-        dt, runs, gf = bench_matmul(n=4096, iters=10, dtype=jnp.bfloat16)
+        dt, runs, gf = bench_matmul(n=4096, dtype=jnp.bfloat16)
         details["matmul4096_bf16_fwdbwd_s"] = round(dt, 6)
         details["matmul4096_bf16_runs"] = runs
         details["matmul4096_bf16_gflops"] = round(gf, 1)
